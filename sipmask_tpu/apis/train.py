@@ -1,0 +1,93 @@
+"""Training driver: the mmcv-Runner / benchmark-do_train equivalent
+(mmdet/apis/train.py:84-235, fcos_core/engine/trainer.py:38-121).
+
+Epoch loop over the grouped loader, jitted SPMD step on the device mesh,
+smoothed metric logging every ``log_interval``, per-epoch orbax checkpoints,
+auto-resume from work_dir, optional eval hook.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SipMaskConfig
+from ..data import CocoDataset, TrainTransform
+from ..data.loader import build_train_loader
+from ..parallel import make_mesh, shard_batch, replicate
+from ..train import create_train_state, make_train_step
+from ..train.optim import lr_schedule
+from ..utils.checkpoint import (save_checkpoint, restore_checkpoint,
+                                load_weights, latest_checkpoint)
+from ..utils.logging import MetricLogger
+
+
+def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
+                   work_dir: str, resume: bool = True,
+                   load_from: Optional[str] = None,
+                   max_steps: Optional[int] = None,
+                   eval_hook: Optional[Callable] = None,
+                   dataset=None):
+    os.makedirs(work_dir, exist_ok=True)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.flatten())
+    batch_size = cfg.train.imgs_per_device * n_dev
+
+    if dataset is None:
+        dataset = CocoDataset(ann_file, img_prefix)
+    transform = TrainTransform(cfg.data, seed=cfg.train.seed)
+    loader, steps_per_epoch = build_train_loader(
+        dataset, transform, batch_size, seed=cfg.train.seed,
+        repeat_times=cfg.data.repeat_times)
+
+    first = next(loader)
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(cfg.train.seed),
+        jnp.asarray(first["images"][:1]), steps_per_epoch=steps_per_epoch)
+    sched = lr_schedule(cfg.train.optim, steps_per_epoch)
+
+    if load_from:
+        state = load_weights(load_from, state)
+        print(f"loaded weights from {load_from}")
+    if resume:
+        last = latest_checkpoint(work_dir)
+        if last:
+            state = restore_checkpoint(last, state)
+            print(f"resumed from {last} at step {int(state.step)}")
+
+    step_fn = make_train_step(model, tx, cfg)
+    logger = MetricLogger(log_file=os.path.join(work_dir, "train.log.json"))
+    total_steps = steps_per_epoch * cfg.train.optim.total_epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+
+    with mesh:
+        state = replicate(state, mesh)
+        step = int(state.step)
+        batch = first
+        while step < total_steps:
+            device_batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()
+                 if k not in ("image_ids", "ori_shapes")}, mesh)
+            state, metrics = step_fn(state, device_batch)
+            batch = next(loader)  # overlap host load with device step
+            step += 1
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            if step % cfg.train.log_interval == 0:
+                logger.log(step, total_steps, lr=float(sched(step)))
+            if (step % (steps_per_epoch *
+                        cfg.train.checkpoint_interval_epochs) == 0
+                    or step == total_steps):
+                epoch = step // steps_per_epoch
+                path = os.path.join(work_dir, f"epoch_{epoch}")
+                save_checkpoint(path, state,
+                                meta=dict(config=cfg.name, step=step))
+                print(f"saved checkpoint {path}")
+                if eval_hook is not None:
+                    eval_hook(model, state, epoch)
+    return model, state

@@ -1,0 +1,242 @@
+"""Typed configuration system with named presets.
+
+Replaces both of the reference's config mechanisms (mmdetection's executable
+Python dict configs, e.g. ``configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py``,
+and SipMask-benchmark's YACS YAML) with frozen dataclasses plus a preset
+registry. Field defaults mirror ``sipmask_r50_caffe_fpn_gn_1x.py:1-139``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+INF = 1e8
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """Caffe-style ResNet (reference: mmdet/models/backbones/resnet.py:319-521)."""
+
+    depth: int = 50  # 50 or 101
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    style: str = "caffe"  # stride-2 on first 1x1 conv of bottleneck
+    # DCN stages for SipMask++ (configs/sipmask/sipmask++_r101_caffe_fpn_ssd_6x.py:13-14)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_deform_groups: int = 1
+
+
+@dataclass(frozen=True)
+class FPNConfig:
+    """FPN P3..P7 (reference: mmdet/models/necks/fpn.py:10-178, config :13-21)."""
+
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    start_level: int = 1
+    num_outs: int = 5
+    add_extra_convs: bool = True
+    extra_convs_on_inputs: bool = False  # extra conv from P5 (not C5)
+    relu_before_extra_convs: bool = True
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """SipMask head (reference: mmdet/models/anchor_heads/sipmask_head.py:107-239)."""
+
+    num_classes: int = 80  # foreground classes (reference num_classes=81 incl. bg)
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4  # cls tower uses stacked_convs-1, reg tower stacked_convs
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    regress_ranges: Tuple[Tuple[float, float], ...] = (
+        (-1, 64), (64, 128), (128, 256), (256, 512), (512, INF))
+    center_sampling: bool = True
+    center_sample_radius: float = 1.5
+    norm: Optional[str] = "gn"  # 'gn' (GroupNorm32) or None (real-time variants)
+    num_bases: int = 32  # nc in reference (:192)
+    ssd_flag: bool = False  # real-time path: fast_nms + scale-factor mask resize
+    rescoring: bool = False  # SipMask++ mask re-scoring module (:200-219)
+    track: bool = False  # SipMask-VIS tracking branch
+    # loss hyperparameters (config :29-37)
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    loss_centerness_weight: float = 1.0
+    iou_loss_mode: str = "log"  # 'log' (mmdet IoULoss) or 'giou' (benchmark)
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference settings (reference test_cfg, config :51-56)."""
+
+    nms_pre: int = 1000  # per-level top-k prefilter
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    max_per_img: int = 100
+    mask_thr: float = 0.4
+    use_fast_nms: bool = False  # forced True when head.ssd_flag
+    fast_nms_top_k: int = 200  # per-class top-k inside fast_nms (:868)
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """VIS tracker (reference SipMask-VIS sipmask_head.py:166,544-562)."""
+
+    max_tracks: int = 64  # fixed-capacity track memory
+    match_coeff: Tuple[float, float, float] = (1.0, 2.0, 10.0)  # det, iou, label
+    embed_channels: int = 512
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    fpn: FPNConfig = field(default_factory=FPNConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    test: TestConfig = field(default_factory=TestConfig)
+    track: TrackConfig = field(default_factory=TrackConfig)
+    # compute dtype for conv towers ('float32' or 'bfloat16'); params stay fp32
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Static-shape input pipeline settings.
+
+    The reference pads to size_divisor=32 with dynamic shapes; on TPU we pad
+    to fixed buckets (landscape/portrait for keep-ratio resize, single square
+    for the real-time variant).
+    """
+
+    img_scale: Tuple[int, int] = (1333, 800)  # (long, short) keep-ratio target
+    keep_ratio: bool = True
+    fixed_size: Optional[Tuple[int, int]] = None  # (H, W); real-time: (544, 544)
+    flip_ratio: float = 0.5
+    # caffe BGR means, std 1 (config :60-61)
+    mean: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
+    std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    to_rgb: bool = False  # keep BGR (caffe backbone)
+    size_divisor: int = 32
+    ssd_augs: bool = False  # PhotoMetricDistortion/Expand/MinIoURandomCrop
+    repeat_times: int = 1  # RepeatDataset wrapper (ssd_6x uses 3)
+    max_gts: int = 64  # static pad of gt instances per image
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """SGD + warmup/step schedule (reference config :108-121)."""
+
+    lr: float = 0.01
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    bias_lr_mult: float = 2.0
+    bias_decay_mult: float = 0.0
+    warmup: str = "constant"  # 'constant' or 'linear'
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3
+    lr_steps: Tuple[int, ...] = (8, 11)  # epochs
+    total_epochs: int = 12
+    grad_clip: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    imgs_per_device: int = 4
+    max_pos: int = 256  # static cap of mask-loss positives per image
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    seed: int = 0
+    log_interval: int = 50
+    checkpoint_interval_epochs: int = 1
+
+
+@dataclass(frozen=True)
+class SipMaskConfig:
+    name: str = "sipmask_r50_fpn_gn_1x"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "SipMaskConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _r(cfg, path: str, **kw):
+    """Nested dataclasses.replace: _r(cfg, 'model.head', ssd_flag=True)."""
+    parts = path.split(".") if path else []
+    if not parts:
+        return dataclasses.replace(cfg, **kw)
+    head_name = parts[0]
+    child = getattr(cfg, head_name)
+    new_child = _r(child, ".".join(parts[1:]), **kw)
+    return dataclasses.replace(cfg, **{head_name: new_child})
+
+
+def _hi_acc_base() -> SipMaskConfig:
+    return SipMaskConfig()
+
+
+def _realtime_base(name: str) -> SipMaskConfig:
+    """Real-time 'SSD-style' variant (configs/sipmask/sipmask_r50_caffe_fpn_ssd_6x.py)."""
+    cfg = SipMaskConfig(name=name)
+    cfg = _r(cfg, "model.head", stacked_convs=2, norm=None, ssd_flag=True)
+    cfg = _r(cfg, "model.test", score_thr=0.1, use_fast_nms=True, nms_pre=1000)
+    cfg = _r(cfg, "data", fixed_size=(544, 544), img_scale=(576, 576),
+             ssd_augs=True, repeat_times=3)
+    cfg = _r(cfg, "train", imgs_per_device=8)
+    cfg = _r(cfg, "train.optim", lr_steps=(20, 23), total_epochs=24,
+             warmup="linear")
+    return cfg
+
+
+def get_config(name: str) -> SipMaskConfig:
+    """Named presets mirroring the reference's config matrix (SURVEY.md 2.5)."""
+    if name == "sipmask_r50_fpn_gn_1x":
+        return _hi_acc_base().replace(name=name)
+    if name == "sipmask_r50_fpn_gn_ms_2x":
+        cfg = _hi_acc_base().replace(name=name)
+        return _r(cfg, "train.optim", lr_steps=(16, 22), total_epochs=24)
+    if name == "sipmask_r101_fpn_gn_ms_4x":
+        cfg = _hi_acc_base().replace(name=name)
+        cfg = _r(cfg, "model.backbone", depth=101)
+        return _r(cfg, "train.optim", lr_steps=(32, 44), total_epochs=48)
+    if name == "sipmask_r50_fpn_ssd_6x":
+        return _realtime_base(name)
+    if name == "sipmask_r101_fpn_ssd_6x":
+        cfg = _realtime_base(name)
+        return _r(cfg, "model.backbone", depth=101)
+    if name == "sipmask_r50_fpn_ssd_10x_gn":
+        cfg = _realtime_base(name)
+        cfg = _r(cfg, "model.head", norm="gn")
+        return _r(cfg, "train.optim", lr_steps=(36, 40), total_epochs=42)
+    if name == "sipmaskpp_r101_fpn_ssd_6x":
+        # SipMask++: DCN backbone stages 2-4 + rescoring
+        # (configs/sipmask/sipmask++_r101_caffe_fpn_ssd_6x.py:13-14,31)
+        cfg = _realtime_base(name)
+        cfg = _r(cfg, "model.backbone", depth=101,
+                 stage_with_dcn=(False, True, True, True))
+        return _r(cfg, "model.head", rescoring=True)
+    if name == "sipmask_vis_r50":
+        # SipMask-VIS (SipMask-VIS/configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py:22-56)
+        cfg = SipMaskConfig(name=name)
+        cfg = _r(cfg, "model.head", num_classes=40, stacked_convs=3, track=True)
+        cfg = _r(cfg, "model.test", nms_pre=200, score_thr=0.03, max_per_img=10,
+                 use_fast_nms=True, mask_thr=0.5)
+        cfg = _r(cfg, "data", img_scale=(640, 360))
+        return _r(cfg, "train.optim", lr=0.005)
+    raise KeyError(f"unknown config preset: {name!r}; known: {list_configs()}")
+
+
+def list_configs():
+    return [
+        "sipmask_r50_fpn_gn_1x",
+        "sipmask_r50_fpn_gn_ms_2x",
+        "sipmask_r101_fpn_gn_ms_4x",
+        "sipmask_r50_fpn_ssd_6x",
+        "sipmask_r101_fpn_ssd_6x",
+        "sipmask_r50_fpn_ssd_10x_gn",
+        "sipmaskpp_r101_fpn_ssd_6x",
+        "sipmask_vis_r50",
+    ]

@@ -1,0 +1,168 @@
+"""Batched, prefetching host data loaders with static-shape buckets.
+
+Replaces the reference's GroupSampler/DistributedGroupSampler +
+build_dataloader (mmdet/datasets/loader/sampler.py:11-164, build_loader.py):
+- aspect-ratio-grouped batches (landscape/portrait) so each batch pads to
+  one of two static shapes -> at most two compiled graphs;
+- RepeatDataset epoch multiplier (dataset_wrappers.py) via ``repeat_times``;
+- thread-pool transform workers + a bounded prefetch queue (the torch
+  DataLoader worker analog; host side only, device transfer is the
+  trainer's job);
+- multi-host sharding: pass (shard_id, num_shards) to partition the index
+  stream per process (DistributedGroupSampler equivalent).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .transforms import TrainTransform, TestTransform, Sample
+
+
+def _stack_batch(samples, keys=("image", "gt_bboxes", "gt_labels",
+                                "gt_masks", "img_shape", "scale_factor")):
+    name_map = dict(image="images", img_shape="img_shapes",
+                    scale_factor="scale_factors")
+    out = {}
+    for k in keys:
+        v = np.stack([getattr(s, k) for s in samples])
+        out[name_map.get(k, k)] = v
+    out["image_ids"] = np.asarray([s.image_id for s in samples])
+    out["ori_shapes"] = np.asarray([s.ori_shape for s in samples])
+    return out
+
+
+def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
+                       seed: int = 0, repeat_times: int = 1,
+                       num_workers: int = 8, prefetch: int = 4,
+                       shard_id: int = 0, num_shards: int = 1):
+    """Infinite iterator of stacked numpy batches, aspect-grouped."""
+    rng = np.random.RandomState(seed)
+    flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
+    groups = [np.where(flags)[0], np.where(~flags)[0]]
+    pool = ThreadPoolExecutor(num_workers)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def load_one(idx):
+        img = dataset.load_image(idx)
+        boxes, labels, masks = dataset.get_ann(idx)
+        return transform(img, boxes, labels, masks,
+                         image_id=dataset.image_id(idx))
+
+    def epoch_batches():
+        batches = []
+        for g in groups:
+            if not len(g):
+                continue
+            idx = np.concatenate([rng.permutation(g)
+                                  for _ in range(repeat_times)])
+            # round up to full batches by wrapping (GroupSampler behavior)
+            n = int(np.ceil(len(idx) / batch_size)) * batch_size
+            idx = np.concatenate([idx, idx[:n - len(idx)]])
+            batches.extend(idx.reshape(-1, batch_size))
+        order = rng.permutation(len(batches))
+        return [batches[i] for i in order][shard_id::num_shards]
+
+    def producer():
+        while True:
+            for bidx in epoch_batches():
+                samples = list(pool.map(load_one, bidx))
+                q.put(_stack_batch(samples))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    def gen():
+        while True:
+            yield q.get()
+
+    steps_per_epoch = sum(
+        int(np.ceil(len(g) * repeat_times / batch_size)) for g in groups
+        if len(g)) // max(num_shards, 1)
+    return gen(), steps_per_epoch
+
+
+def build_test_loader(dataset, transform: TestTransform, batch_size: int = 1,
+                      num_workers: int = 8,
+                      shard_id: int = 0, num_shards: int = 1):
+    """Finite iterator over the dataset in aspect-grouped static batches.
+
+    Yields (batch_dict, n_valid) where the last batch of each group is
+    padded by repeating its final sample (results beyond n_valid dropped).
+    """
+    flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
+    groups = [np.where(flags)[0], np.where(~flags)[0]]
+    pool = ThreadPoolExecutor(num_workers)
+
+    def load_one(idx):
+        return transform(dataset.load_image(idx),
+                         image_id=dataset.image_id(idx))
+
+    def gen():
+        for g in groups:
+            g = g[shard_id::num_shards]
+            for i in range(0, len(g), batch_size):
+                chunk = list(g[i:i + batch_size])
+                n_valid = len(chunk)
+                while len(chunk) < batch_size:
+                    chunk.append(chunk[-1])
+                samples = list(pool.map(load_one, chunk))
+                yield _stack_batch(samples), n_valid
+
+    return gen()
+
+
+def build_vis_train_loader(dataset, transform, batch_size: int,
+                           seed: int = 0, num_workers: int = 8,
+                           prefetch: int = 4,
+                           shard_id: int = 0, num_shards: int = 1):
+    """VIS pair loader: yields dict batches with current+reference frames
+    (the reference's prepare_train_img pair sampling, ytvos.py:188-240)."""
+    rng = np.random.RandomState(seed)
+    flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
+    groups = [np.where(flags)[0], np.where(~flags)[0]]
+    pool = ThreadPoolExecutor(num_workers)
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def load_one(idx):
+        return transform(dataset.get_train_pair(idx))
+
+    def epoch_batches():
+        batches = []
+        for g in groups:
+            if not len(g):
+                continue
+            idx = rng.permutation(g)
+            n = int(np.ceil(len(idx) / batch_size)) * batch_size
+            idx = np.concatenate([idx, idx[:n - len(idx)]])
+            batches.extend(idx.reshape(-1, batch_size))
+        order = rng.permutation(len(batches))
+        return [batches[i] for i in order][shard_id::num_shards]
+
+    def producer():
+        while True:
+            for bidx in epoch_batches():
+                samples = list(pool.map(load_one, bidx))
+                batch = {}
+                name_map = dict(image="images", ref_image="ref_images",
+                                img_shape="img_shapes",
+                                scale_factor="scale_factors")
+                for k in samples[0]:
+                    batch[name_map.get(k, k)] = np.stack(
+                        [s[k] for s in samples])
+                q.put(batch)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    def gen():
+        while True:
+            yield q.get()
+
+    steps_per_epoch = sum(int(np.ceil(len(g) / batch_size)) for g in groups
+                          if len(g)) // max(num_shards, 1)
+    return gen(), steps_per_epoch

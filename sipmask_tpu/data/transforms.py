@@ -1,0 +1,370 @@
+"""Host-side (numpy/cv2) image + annotation transforms.
+
+Rewrite of the reference pipeline (mmdet/datasets/pipelines/transforms.py:
+24-904, loading.py:11-190) with TPU static-shape outputs:
+- keep-ratio resize to (long, short) like mmdet Resize (bilinear for images,
+  nearest for masks), or fixed-size resize for the real-time variant;
+- horizontal flip; caffe-BGR normalization (mean sub, std 1);
+- pad to a static bucket (landscape/portrait) instead of dynamic div-32 pads;
+- SSD-style photometric distortion / expand / min-IoU random crop for the
+  6x real-time recipe (sipmask_r50_caffe_fpn_ssd_6x.py:64-100);
+- gt masks are emitted at the stride-2 basis-mask resolution, binarized the
+  same way as the reference's in-loss F.interpolate(gt, 0.5, bilinear) > 0.5
+  (sipmask_head.py:437-442).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import cv2
+
+from ..config import DataConfig
+
+
+def imrescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int]:
+    """mmdet keep-ratio target size: scale=(long, short)."""
+    long_side, short_side = max(scale), min(scale)
+    f = min(long_side / max(h, w), short_side / min(h, w))
+    return int(h * f + 0.5), int(w * f + 0.5)
+
+
+def resize_image(img, out_h, out_w, interp=cv2.INTER_LINEAR):
+    return cv2.resize(img, (out_w, out_h), interpolation=interp)
+
+
+def photometric_distortion(img, rng, brightness_delta=32,
+                           contrast_range=(0.5, 1.5),
+                           saturation_range=(0.5, 1.5), hue_delta=18):
+    """SSD photometric aug (transforms.py PhotoMetricDistortion). img: BGR f32."""
+    img = img.copy()
+    if rng.randint(2):
+        img += rng.uniform(-brightness_delta, brightness_delta)
+    mode = rng.randint(2)
+    if mode == 1 and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+    # saturation / hue in HSV
+    if rng.randint(2) or rng.randint(2):
+        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                           cv2.COLOR_BGR2HSV).astype(np.float32)
+        if rng.randint(2):
+            hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation_range),
+                                  0, 255)
+        if rng.randint(2):
+            hsv[..., 0] = (hsv[..., 0].astype(int) +
+                           rng.randint(-hue_delta, hue_delta)) % 180
+        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR
+                           ).astype(np.float32)
+    if mode == 0 and rng.randint(2):
+        img *= rng.uniform(*contrast_range)
+    if rng.randint(2):
+        img = img[..., rng.permutation(3)]
+    return img
+
+
+def expand(img, boxes, masks, rng, mean, ratio_range=(1, 4)):
+    """SSD Expand: paste into a larger mean-filled canvas (transforms.py)."""
+    if rng.randint(2):
+        return img, boxes, masks
+    h, w, c = img.shape
+    ratio = rng.uniform(*ratio_range)
+    eh, ew = int(h * ratio), int(w * ratio)
+    top = rng.randint(0, eh - h + 1)
+    left = rng.randint(0, ew - w + 1)
+    canvas = np.empty((eh, ew, c), img.dtype)
+    canvas[...] = mean
+    canvas[top:top + h, left:left + w] = img
+    boxes = boxes + np.array([left, top, left, top], boxes.dtype)
+    if masks is not None and len(masks):
+        mcan = np.zeros((len(masks), eh, ew), masks.dtype)
+        mcan[:, top:top + h, left:left + w] = masks
+        masks = mcan
+    return canvas, boxes, masks
+
+
+def min_iou_random_crop(img, boxes, labels, masks, rng,
+                        min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                        min_crop_size=0.3, max_tries=50):
+    """SSD MinIoURandomCrop (transforms.py): crop keeping boxes whose centers
+    fall inside; retry per sampled min-IoU."""
+    h, w = img.shape[:2]
+    while True:
+        mode = (1, *min_ious)[rng.randint(len(min_ious) + 1)]
+        if mode == 1:
+            return img, boxes, labels, masks
+        for _ in range(max_tries):
+            new_w = rng.uniform(min_crop_size * w, w)
+            new_h = rng.uniform(min_crop_size * h, h)
+            if new_h / new_w < 0.5 or new_h / new_w > 2:
+                continue
+            left = rng.uniform(0, w - new_w)
+            top = rng.uniform(0, h - new_h)
+            patch = np.array([left, top, left + new_w, top + new_h])
+            # IoU-with-patch ("iof"-style overlap as in the reference)
+            lt = np.maximum(boxes[:, :2], patch[:2])
+            rb = np.minimum(boxes[:, 2:], patch[2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[:, 0] * wh[:, 1]
+            area_b = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+            area_p = new_w * new_h
+            ious = inter / np.maximum(area_b + area_p - inter, 1e-9)
+            if len(ious) and ious.min() < mode:
+                continue
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+            keep = ((centers[:, 0] > patch[0]) & (centers[:, 1] > patch[1]) &
+                    (centers[:, 0] < patch[2]) & (centers[:, 1] < patch[3]))
+            if not keep.any():
+                continue
+            x1, y1, x2, y2 = patch.astype(int)
+            img = img[y1:y2, x1:x2]
+            boxes = boxes[keep].copy()
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2] - x1, 0, x2 - x1 - 1)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2] - y1, 0, y2 - y1 - 1)
+            labels = labels[keep]
+            if masks is not None and len(masks):
+                masks = masks[keep][:, y1:y2, x1:x2]
+            return img, boxes, labels, masks
+
+
+@dataclasses.dataclass
+class Sample:
+    """One transformed example in static-shape layout."""
+    image: np.ndarray        # (H, W, 3) float32
+    gt_bboxes: np.ndarray    # (G, 4)
+    gt_labels: np.ndarray    # (G,)
+    gt_masks: np.ndarray     # (G, H/2, W/2) uint8
+    img_shape: np.ndarray    # (2,) resized pre-pad (h, w)
+    ori_shape: Tuple[int, int]
+    scale_factor: np.ndarray  # (4,) sx, sy, sx, sy
+    landscape: bool = True
+    image_id: int = -1
+
+
+class TrainTransform:
+    def __init__(self, cfg: DataConfig, seed: int = 0):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.mean = np.asarray(cfg.mean, np.float32)
+        self.std = np.asarray(cfg.std, np.float32)
+
+    def bucket_shape(self, landscape: bool) -> Tuple[int, int]:
+        c = self.cfg
+        if c.fixed_size is not None:
+            return c.fixed_size
+        long_s, short_s = max(c.img_scale), min(c.img_scale)
+        d = c.size_divisor
+        pad = lambda v: (v + d - 1) // d * d
+        return ((pad(short_s), pad(long_s)) if landscape
+                else (pad(long_s), pad(short_s)))
+
+    def __call__(self, img, boxes, labels, masks, image_id=-1) -> Sample:
+        """img: (H, W, 3) uint8 BGR; boxes (N,4) f32; labels (N,) int;
+        masks (N, H, W) uint8."""
+        cfg = self.cfg
+        rng = self.rng
+        img = img.astype(np.float32)
+        ori_shape = img.shape[:2]
+        boxes = boxes.astype(np.float32).copy()
+        labels = labels.copy()
+
+        if cfg.ssd_augs:
+            img = photometric_distortion(img, rng)
+            img, boxes, masks = expand(img, boxes, masks, rng, self.mean)
+            img, boxes, labels, masks = min_iou_random_crop(
+                img, boxes, labels, masks, rng)
+
+        h, w = img.shape[:2]
+        if cfg.fixed_size is not None:
+            out_h, out_w = cfg.fixed_size
+            landscape = True
+        else:
+            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            landscape = out_w >= out_h
+        sx, sy = out_w / w, out_h / h
+        img = resize_image(img, out_h, out_w)
+        boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+
+        if rng.rand() < cfg.flip_ratio:
+            img = img[:, ::-1]
+            flipped = boxes.copy()
+            flipped[:, 0] = out_w - boxes[:, 2] - 1
+            flipped[:, 2] = out_w - boxes[:, 0] - 1
+            boxes = flipped
+            masks = masks[:, :, ::-1] if masks is not None and len(masks) \
+                else masks
+            flip = True
+        else:
+            flip = False
+
+        img = (img - self.mean) / self.std
+
+        pad_h, pad_w = self.bucket_shape(landscape)
+        canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+        canvas[:out_h, :out_w] = img[:pad_h, :pad_w]
+
+        # gt masks at the stride-2 basis resolution (bilinear + >0.5, matching
+        # the reference's in-loss downsample)
+        g = cfg.max_gts
+        mh, mw = pad_h // 2, pad_w // 2
+        gm = np.zeros((g, mh, mw), np.uint8)
+        n = min(len(boxes), g)
+        for i in range(n):
+            if masks is None or not len(masks):
+                break
+            # resize to the network input, zero-pad to the bucket, then 0.5x
+            # bilinear + >0.5 — the reference's in-loss sequence exactly
+            m = resize_image(masks[i].astype(np.float32), out_h, out_w)
+            mp = np.zeros((pad_h, pad_w), np.float32)
+            mp[:out_h, :out_w] = m[:pad_h, :pad_w]
+            m2 = cv2.resize(mp, (mw, mh), interpolation=cv2.INTER_LINEAR)
+            gm[i] = (m2 > 0.5)
+
+        gb = np.zeros((g, 4), np.float32)
+        gl = np.zeros((g,), np.int32)
+        gb[:n] = boxes[:n]
+        gl[:n] = labels[:n]
+        return Sample(
+            image=canvas, gt_bboxes=gb, gt_labels=gl, gt_masks=gm,
+            img_shape=np.array([out_h, out_w], np.float32),
+            ori_shape=ori_shape,
+            scale_factor=np.array([sx, sy, sx, sy], np.float32),
+            landscape=landscape, image_id=image_id)
+
+
+class TestTransform:
+    """Resize keep-ratio (no flip), normalize, pad to bucket."""
+
+    __test__ = False  # not a pytest test class despite the name
+
+    def __init__(self, cfg: DataConfig):
+        self.cfg = cfg
+        self.mean = np.asarray(cfg.mean, np.float32)
+        self.std = np.asarray(cfg.std, np.float32)
+
+    def bucket_shape(self, landscape: bool) -> Tuple[int, int]:
+        return TrainTransform.bucket_shape(self, landscape)  # same logic
+
+    def __call__(self, img, image_id=-1) -> Sample:
+        cfg = self.cfg
+        img = img.astype(np.float32)
+        ori_shape = img.shape[:2]
+        h, w = ori_shape
+        if cfg.fixed_size is not None:
+            out_h, out_w = cfg.fixed_size
+            landscape = True
+        else:
+            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            landscape = out_w >= out_h
+        sx, sy = out_w / w, out_h / h
+        img = resize_image(img, out_h, out_w)
+        img = (img - self.mean) / self.std
+        pad_h, pad_w = self.bucket_shape(landscape)
+        canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+        canvas[:out_h, :out_w] = img[:pad_h, :pad_w]
+        return Sample(
+            image=canvas, gt_bboxes=np.zeros((0, 4), np.float32),
+            gt_labels=np.zeros((0,), np.int32),
+            gt_masks=np.zeros((0, 1, 1), np.uint8),
+            img_shape=np.array([out_h, out_w], np.float32),
+            ori_shape=ori_shape,
+            scale_factor=np.array([sx, sy, sx, sy], np.float32),
+            landscape=landscape, image_id=image_id)
+
+
+class VISPairTransform:
+    """Current+reference frame pair transform for VIS training
+    (SipMask-VIS ytvos.py prepare_train_img: same scale and flip applied to
+    both frames; reference gt boxes jittered ±5% on the host, the in-loss
+    equivalent of sipmask_head.py:471-484)."""
+
+    def __init__(self, cfg: DataConfig, seed: int = 0,
+                 jitter_amplitude: float = 0.05):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        self.mean = np.asarray(cfg.mean, np.float32)
+        self.std = np.asarray(cfg.std, np.float32)
+        self.amp = jitter_amplitude
+
+    def bucket_shape(self, landscape: bool):
+        return TrainTransform.bucket_shape(self, landscape)
+
+    def __call__(self, pair: dict) -> dict:
+        cfg, rng = self.cfg, self.rng
+        img = pair["img"].astype(np.float32)
+        ref = pair["ref_img"].astype(np.float32)
+        boxes, labels, masks = pair["boxes"], pair["labels"], pair["masks"]
+        rboxes, rlabels = pair["ref_boxes"].copy(), pair["ref_labels"]
+        h, w = img.shape[:2]
+
+        if cfg.fixed_size is not None:
+            out_h, out_w = cfg.fixed_size
+            landscape = True
+        else:
+            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            landscape = out_w >= out_h
+        sx, sy = out_w / w, out_h / h
+        scale = np.array([sx, sy, sx, sy], np.float32)
+        img = resize_image(img, out_h, out_w)
+        ref = resize_image(ref, out_h, out_w)
+        boxes = boxes * scale
+        rboxes = rboxes * scale
+
+        if rng.rand() < cfg.flip_ratio:
+            img, ref = img[:, ::-1], ref[:, ::-1]
+            for bb in (boxes, rboxes):
+                x1 = bb[:, 0].copy()
+                bb[:, 0] = out_w - bb[:, 2] - 1
+                bb[:, 2] = out_w - x1 - 1
+            masks = masks[:, :, ::-1] if len(masks) else masks
+
+        img = (img - self.mean) / self.std
+        ref = (ref - self.mean) / self.std
+        pad_h, pad_w = self.bucket_shape(landscape)
+        can = np.zeros((pad_h, pad_w, 3), np.float32)
+        can[:out_h, :out_w] = img[:pad_h, :pad_w]
+        rcan = np.zeros((pad_h, pad_w, 3), np.float32)
+        rcan[:out_h, :out_w] = ref[:pad_h, :pad_w]
+
+        g = cfg.max_gts
+        mh, mw = pad_h // 2, pad_w // 2
+        gm = np.zeros((g, mh, mw), np.uint8)
+        n = min(len(boxes), g)
+        for i in range(n):
+            if not len(masks):
+                break
+            m = resize_image(masks[i].astype(np.float32), out_h, out_w)
+            mp = np.zeros((pad_h, pad_w), np.float32)
+            mp[:out_h, :out_w] = m[:pad_h, :pad_w]
+            gm[i] = cv2.resize(mp, (mw, mh),
+                               interpolation=cv2.INTER_LINEAR) > 0.5
+
+        # host-side ref box jitter (cx,cy +- 5% wh; wh * (1 +- 5%))
+        nr = min(len(rboxes), g)
+        off = self.rng.uniform(-self.amp, self.amp, (max(nr, 1), 4))
+        rj = rboxes[:nr].copy()
+        if nr:
+            cxcy = (rj[:, 2:] + rj[:, :2]) / 2
+            wh = np.abs(rj[:, 2:] - rj[:, :2])
+            ncxcy = cxcy + wh * off[:nr, :2]
+            nwh = wh * (1 + off[:nr, 2:])
+            rj = np.concatenate([ncxcy - nwh / 2, ncxcy + nwh / 2], 1)
+
+        def padded(arr, shape, dtype):
+            out = np.zeros(shape, dtype)
+            k = min(len(arr), shape[0])
+            if k:
+                out[:k] = arr[:k]
+            return out
+
+        return dict(
+            image=can, ref_image=rcan,
+            gt_bboxes=padded(boxes, (g, 4), np.float32),
+            gt_labels=padded(labels, (g,), np.int32),
+            gt_masks=gm,
+            gt_pids=padded(pair["gt_pids"], (g,), np.int32),
+            ref_bboxes_jit=padded(rj, (g, 4), np.float32),
+            ref_labels=padded(rlabels, (g,), np.int32),
+            img_shape=np.array([out_h, out_w], np.float32),
+            scale_factor=scale)

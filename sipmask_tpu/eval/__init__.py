@@ -1,0 +1,2 @@
+from .rle import encode_mask, decode_mask, rle_area
+from .coco_eval import COCOEvaluator

@@ -1,0 +1,236 @@
+"""COCO detection/segmentation evaluation (COCOeval reimplementation).
+
+The reference evaluates through pycocotools' COCOeval
+(mmdet/core/evaluation/coco_utils.py); that package is not available here,
+so this is a from-scratch numpy implementation of the same protocol:
+greedy score-ordered matching per (image, category) at IoU thresholds
+0.5:0.05:0.95, crowd/ignore handling, area ranges, maxDets=100, 101-point
+interpolated AP. Verified against hand-constructed cases in
+tests/test_eval.py.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .rle import decode_mask, rle_area
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+REC_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32 ** 2),
+    "medium": (32 ** 2, 96 ** 2),
+    "large": (96 ** 2, 1e10),
+}
+MAX_DETS = 100
+
+
+def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray
+                  ) -> np.ndarray:
+    """pycocotools bbIou: xywh boxes, no +1; crowd gt -> inter/area_dt."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    iw = np.clip(np.minimum(dx2[:, None], gx2) - np.maximum(dx1[:, None], gx1),
+                 0, None)
+    ih = np.clip(np.minimum(dy2[:, None], gy2) - np.maximum(dy1[:, None], gy1),
+                 0, None)
+    inter = iw * ih
+    da = (dt[:, 2] * dt[:, 3])[:, None]
+    ga = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(iscrowd[None, :], da, da + ga - inter)
+    return inter / np.maximum(union, 1e-12)
+
+
+def mask_iou(dt_masks: List[np.ndarray], gt_masks: List[np.ndarray],
+             iscrowd: np.ndarray) -> np.ndarray:
+    """Packed-bit mask IoU; crowd gt -> inter/area_dt."""
+    if not dt_masks or not gt_masks:
+        return np.zeros((len(dt_masks), len(gt_masks)))
+    dp = np.stack([np.packbits(m.reshape(-1)) for m in dt_masks])
+    gp = np.stack([np.packbits(m.reshape(-1)) for m in gt_masks])
+    da = np.asarray([int(m.sum()) for m in dt_masks], np.float64)
+    ga = np.asarray([int(m.sum()) for m in gt_masks], np.float64)
+    pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(1)
+    inter = np.zeros((len(dt_masks), len(gt_masks)))
+    for j in range(len(gt_masks)):
+        inter[:, j] = pop[np.bitwise_and(dp, gp[j])].sum(1)
+    union = np.where(iscrowd[None, :], da[:, None],
+                     da[:, None] + ga[None, :] - inter)
+    return inter / np.maximum(union, 1e-12)
+
+
+class COCOEvaluator:
+    """Usage:
+      ev = COCOEvaluator(ann_file, iou_type='segm')
+      ev.update(results)   # list of dicts: image_id, category_id, score,
+                           #   bbox xywh, segmentation RLE (for segm)
+      stats = ev.summarize()
+    """
+
+    def __init__(self, ann_file: str, iou_type: str = "bbox",
+                 ann_data: Optional[dict] = None):
+        assert iou_type in ("bbox", "segm")
+        self.iou_type = iou_type
+        data = ann_data if ann_data is not None else json.load(open(ann_file))
+        self.img_info = {im["id"]: im for im in data["images"]}
+        self.cat_ids = [c["id"] for c in data["categories"]]
+        self.gts = defaultdict(list)
+        for a in data.get("annotations", []):
+            a = dict(a)
+            a["ignore"] = a.get("ignore", 0) or a.get("iscrowd", 0)
+            self.gts[(a["image_id"], a["category_id"])].append(a)
+        self.img_ids = sorted(self.img_info)
+        self.dts = defaultdict(list)
+
+    def update(self, results: List[dict]):
+        for r in results:
+            self.dts[(r["image_id"], r["category_id"])].append(r)
+
+    # ------------------------------------------------------------------
+    def _gt_mask(self, ann, h, w):
+        seg = ann["segmentation"]
+        if isinstance(seg, dict):
+            return decode_mask(seg).astype(np.uint8)
+        from ..data.coco import rasterize_polygons
+        return rasterize_polygons(seg, h, w)
+
+    def _evaluate_img(self, img_id, cat_id, area_rng):
+        gts = self.gts.get((img_id, cat_id), [])
+        dts = self.dts.get((img_id, cat_id), [])
+        if not gts and not dts:
+            return None
+        gt_ig = np.asarray(
+            [g["ignore"] or g["area"] < area_rng[0] or g["area"] > area_rng[1]
+             for g in gts], bool)
+        order_g = np.argsort(gt_ig, kind="stable")
+        gts = [gts[i] for i in order_g]
+        gt_ig = gt_ig[order_g]
+        scores = np.asarray([-d["score"] for d in dts])
+        order_d = np.argsort(scores, kind="stable")[:MAX_DETS]
+        dts = [dts[i] for i in order_d]
+
+        iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
+        if self.iou_type == "bbox":
+            ious = bbox_iou_xywh(
+                np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
+                np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
+                iscrowd)
+            dt_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dts])
+        else:
+            info = self.img_info[img_id]
+            h, w = info["height"], info["width"]
+            dmask = [decode_mask(d["segmentation"]) for d in dts]
+            gmask = [self._gt_mask(g, h, w) for g in gts]
+            ious = mask_iou(dmask, gmask, iscrowd)
+            dt_area = np.asarray([m.sum() for m in dmask], np.float64)
+
+        t_n = len(IOU_THRS)
+        dtm = np.zeros((t_n, len(dts)), np.int64)
+        gtm = np.zeros((t_n, len(gts)), np.int64)
+        dt_ig = np.zeros((t_n, len(dts)), bool)
+        for ti, t in enumerate(IOU_THRS):
+            for di in range(len(dts)):
+                best_iou = min(t, 1 - 1e-10)
+                m = -1
+                for gi in range(len(gts)):
+                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                        break
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dt_ig[ti, di] = gt_ig[m]
+                dtm[ti, di] = m + 1
+                gtm[ti, m] = di + 1
+        out_of_rng = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+        dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
+        return dict(
+            scores=np.asarray([d["score"] for d in dts]),
+            dtm=dtm, dt_ig=dt_ig,
+            n_gt=int((~gt_ig).sum()))
+
+    def accumulate(self):
+        k_n, t_n, r_n = len(self.cat_ids), len(IOU_THRS), len(REC_THRS)
+        a_names = list(AREA_RNG)
+        precision = -np.ones((t_n, r_n, k_n, len(a_names)))
+        recall = -np.ones((t_n, k_n, len(a_names)))
+        for ki, cat in enumerate(self.cat_ids):
+            for ai, an in enumerate(a_names):
+                evs = [self._evaluate_img(i, cat, AREA_RNG[an])
+                       for i in self.img_ids]
+                evs = [e for e in evs if e is not None]
+                if not evs:
+                    continue
+                scores = np.concatenate([e["scores"] for e in evs])
+                order = np.argsort(-scores, kind="mergesort")
+                dtm = np.concatenate([e["dtm"] for e in evs], 1)[:, order]
+                dt_ig = np.concatenate([e["dt_ig"] for e in evs], 1)[:, order]
+                n_gt = sum(e["n_gt"] for e in evs)
+                if n_gt == 0:
+                    continue
+                tps = (dtm > 0) & ~dt_ig
+                fps = (dtm == 0) & ~dt_ig
+                tp_c = np.cumsum(tps, 1).astype(np.float64)
+                fp_c = np.cumsum(fps, 1).astype(np.float64)
+                for ti in range(t_n):
+                    tp, fp = tp_c[ti], fp_c[ti]
+                    rc = tp / n_gt
+                    pr = tp / np.maximum(tp + fp, 1e-12)
+                    recall[ti, ki, ai] = rc[-1] if len(rc) else 0
+                    # make precision monotonically decreasing
+                    pr = pr.tolist()
+                    for i in range(len(pr) - 1, 0, -1):
+                        pr[i - 1] = max(pr[i - 1], pr[i])
+                    inds = np.searchsorted(rc, REC_THRS, side="left")
+                    q = np.zeros(r_n)
+                    for rid, pid in enumerate(inds):
+                        if pid < len(pr):
+                            q[rid] = pr[pid]
+                    precision[ti, :, ki, ai] = q
+        self._precision, self._recall = precision, recall
+        return precision, recall
+
+    def summarize(self, verbose: bool = True) -> Dict[str, float]:
+        if not hasattr(self, "_precision"):
+            self.accumulate()
+        p, r = self._precision, self._recall
+
+        def ap(t=None, area="all"):
+            ai = list(AREA_RNG).index(area)
+            s = p[:, :, :, ai]
+            if t is not None:
+                s = s[[np.where(IOU_THRS == t)[0][0]]]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else -1.0
+
+        def ar(area="all"):
+            ai = list(AREA_RNG).index(area)
+            s = r[:, :, ai]
+            s = s[s > -1]
+            return float(s.mean()) if s.size else -1.0
+
+        stats = {
+            "AP": ap(), "AP50": ap(0.5), "AP75": ap(0.75),
+            "APs": ap(area="small"), "APm": ap(area="medium"),
+            "APl": ap(area="large"),
+            "AR": ar(), "ARs": ar("small"), "ARm": ar("medium"),
+            "ARl": ar("large"),
+        }
+        if verbose:
+            for k, v in stats.items():
+                print(f"  {self.iou_type} {k:5s} = {v:.4f}")
+        return stats

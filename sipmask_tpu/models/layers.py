@@ -1,0 +1,128 @@
+"""Shared nn building blocks (flax.linen, NHWC).
+
+TPU-native equivalents of the reference's ConvModule/Scale/norm builder
+(mmdet/ops/conv_module.py:11, ops/scale.py:5, ops/norm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with affine params and running stats all frozen.
+
+    Matches the reference backbone's ``norm_cfg=dict(type='BN',
+    requires_grad=False)`` + ``norm_eval=True`` (resnet.py / config :11):
+    a fixed per-channel affine transform whose statistics come from the
+    pretrained checkpoint. Stored in the ``constants`` collection so the
+    optimizer never sees them.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        init = lambda fill: (lambda shape: jnp.full(shape, fill, jnp.float32))
+        gamma = self.variable("constants", "gamma", init(1.0), (self.features,))
+        beta = self.variable("constants", "beta", init(0.0), (self.features,))
+        mean = self.variable("constants", "mean", init(0.0), (self.features,))
+        var = self.variable("constants", "var", init(1.0), (self.features,))
+        scale = gamma.value * jax.lax.rsqrt(var.value + self.eps)
+        bias = beta.value - mean.value * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (mmdet/ops/scale.py:5)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale",
+                       lambda key: jnp.asarray(self.init_value, jnp.float32))
+        return x * s.astype(x.dtype)
+
+
+class ConvModule(nn.Module):
+    """conv -> (GroupNorm32) -> (ReLU), matching mmdet's ConvModule defaults.
+
+    ``norm``: None or 'gn'. Bias is used iff there is no norm (conv_module.py
+    logic at the SipMask head call sites, sipmask_head.py:164-185).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: Optional[str] = None
+    act: bool = True
+    use_bias: Optional[bool] = None
+    weight_init: str = "normal0.01"  # 'normal<std>' | 'xavier' | 'kaiming'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bias = self.use_bias if self.use_bias is not None else self.norm is None
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=self.kernel_size // 2,
+                    use_bias=bias,
+                    kernel_init=conv_init(self.weight_init),
+                    dtype=self.dtype, name="conv")(x)
+        if self.norm == "gn":
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                             name="gn")(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+def conv_init(spec: str):
+    """Map the reference's init names to flax initializers.
+
+    - normal<std>: torch normal_init(std) (head towers etc.)
+    - xavier: xavier_uniform (FPN, fpn.py:132-135)
+    - kaiming: msra / he-normal fan_out (torch kaiming_init default in mmcv
+      uses fan_out + relu nonlinearity)
+    """
+    if spec.startswith("normal"):
+        std = float(spec[len("normal"):] or 0.01)
+        if std == 0.0:
+            return nn.initializers.zeros
+        return nn.initializers.normal(stddev=std)
+    if spec == "xavier":
+        return nn.initializers.xavier_uniform()
+    if spec == "kaiming":
+        return nn.initializers.variance_scaling(2.0, "fan_out",
+                                                "truncated_normal")
+    raise ValueError(spec)
+
+
+def bias_init_with_prob(prior_prob: float = 0.01):
+    """Focal-loss classifier bias init (mmdet/models/utils, used :231-232)."""
+    import math
+    b = -math.log((1 - prior_prob) / prior_prob)
+    return nn.initializers.constant(b)
+
+
+def resize_bilinear(x, out_h: int, out_w: int):
+    """F.interpolate(mode='bilinear', align_corners=False) equivalent (NHWC)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
+
+
+def resize_nearest(x, out_h: int, out_w: int):
+    """F.interpolate(mode='nearest') equivalent (NHWC)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, out_h, out_w, c), method="nearest")
+
+
+def max_pool(x, window: int, stride: int, padding: int = 0):
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=((padding, padding), (padding, padding)))

@@ -1,0 +1,141 @@
+"""Caffe-style ResNet-50/101 backbone (flax.linen, NHWC).
+
+Rewrite of mmdet/models/backbones/resnet.py:13-521 for TPU:
+- 'caffe' style: the stride-2 conv in each bottleneck is the first 1x1
+  (resnet.py:125-130) — required for parity with the released checkpoints.
+- All BatchNorms frozen (FrozenBatchNorm, reference norm_cfg BN
+  requires_grad=False + norm_eval), statistics loadable from torch weights.
+- frozen_stages handled by the optimizer mask (sipmask_tpu/train/optim.py),
+  plus stop_gradient here to save backward compute.
+- Optional DCN stages for SipMask++ ('DCN' == DeformConvPack: deformable
+  conv v1 replacing conv2, offsets from a zero-init 3x3 conv on the input,
+  configs/sipmask/sipmask++_r101_caffe_fpn_ssd_6x.py:13-14).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import FrozenBatchNorm, conv_init, max_pool
+from ..ops.deform_conv import deform_conv2d
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class DeformConvPack(nn.Module):
+    """3x3 deformable conv v1 whose offsets come from an internal zero-init
+    conv on the input (mmdet/ops/dcn/deform_conv.py DeformConvPack)."""
+
+    features: int
+    deform_groups: int = 1
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.deform_groups
+        offsets = nn.Conv(g * 18, (3, 3), strides=(self.stride, self.stride),
+                          padding=1, use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          dtype=self.dtype, name="conv_offset")(x)
+        weight = self.param(
+            "kernel", conv_init("kaiming"),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        return deform_conv2d(x, offsets.astype(jnp.float32),
+                             weight.astype(jnp.float32),
+                             stride=self.stride, padding=1,
+                             deform_groups=g).astype(x.dtype)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    style: str = "caffe"
+    with_dcn: bool = False
+    dcn_deform_groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv1_stride = self.stride if self.style == "caffe" else 1
+        conv2_stride = 1 if self.style == "caffe" else self.stride
+        identity = x
+
+        out = nn.Conv(self.planes, (1, 1), strides=(conv1_stride,) * 2,
+                      use_bias=False, kernel_init=conv_init("kaiming"),
+                      dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+
+        if self.with_dcn:
+            out = DeformConvPack(self.planes,
+                                 deform_groups=self.dcn_deform_groups,
+                                 stride=conv2_stride, dtype=self.dtype,
+                                 name="conv2")(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(conv2_stride,) * 2,
+                          padding=1, use_bias=False,
+                          kernel_init=conv_init("kaiming"),
+                          dtype=self.dtype, name="conv2")(out)
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      kernel_init=conv_init("kaiming"),
+                      dtype=self.dtype, name="conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               kernel_init=conv_init("kaiming"),
+                               dtype=self.dtype, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes * 4,
+                                       name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    style: str = "caffe"
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_deform_groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, 3) normalized BGR (caffe means). Returns C2..C5."""
+        blocks = STAGE_BLOCKS[self.depth]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    kernel_init=conv_init("kaiming"), dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.relu(FrozenBatchNorm(64, name="bn1")(x))
+        x = max_pool(x, 3, 2, padding=1)
+        if self.frozen_stages >= 1:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        for stage, n_blocks in enumerate(blocks):
+            planes = 64 * 2 ** stage
+            stride = 1 if stage == 0 else 2
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    style=self.style,
+                    with_dcn=self.stage_with_dcn[stage],
+                    dcn_deform_groups=self.dcn_deform_groups,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}")(x)
+            if stage + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if stage in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,4 @@
+from .crop_split import (quadrant_masks, box_crop_mask, crop_split,
+                         assemble_masks, mask_bce_loss)
+from .nms import hard_nms, multiclass_nms_idx, fast_nms
+from .deform_conv import deform_conv2d, modulated_deform_conv2d

@@ -1,0 +1,135 @@
+"""Static-shape NMS family for TPU (jit-compatible, no dynamic shapes).
+
+Replaces the reference's CUDA NMS (mmdet/ops/nms/src/nms_kernel.cu, +1 IoU
+convention), the class-offset multiclass wrapper with kept-index return
+(mmdet/core/post_processing/bbox_nms.py:79-146), and the YOLACT-style matrix
+``fast_nms`` (sipmask_head.py:868-960).
+
+Dynamic-output-size suppression is re-expressed as: greedy argmax selection
+for exactly ``max_out`` iterations (a ``lax.fori_loop``), padding unselected
+slots with score -1 and a validity mask. Greedy-by-argmax over the union of
+classes (suppression restricted to same class) is exactly per-class hard NMS
+followed by a global score sort — the reference's semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core.boxes import bbox_overlaps, jaccard_nop1
+
+NEG = -1.0e4
+
+
+def hard_nms(boxes, scores, iou_thr: float, max_out: int, class_ids=None):
+    """Greedy hard NMS with the reference's +1 IoU (nms_kernel.cu:14-21).
+
+    Args:
+      boxes: (N, 4); scores: (N,), invalid candidates must carry score <= NEG/2;
+      class_ids: optional (N,) int — suppression only within the same class
+        (replaces the coordinate-offset trick without perturbing IoU).
+      max_out: number of greedy selections (static).
+    Returns:
+      keep_idx: (max_out,) int32 indices into the input,
+      keep_scores: (max_out,) scores (NEG for empty slots),
+      valid: (max_out,) bool.
+    """
+    n = boxes.shape[0]
+    ious = bbox_overlaps(boxes, boxes)  # (N, N), +1 convention
+    if class_ids is not None:
+        same = class_ids[:, None] == class_ids[None, :]
+        ious = jnp.where(same, ious, 0.0)
+
+    def body(i, state):
+        live_scores, keep_idx, keep_scores = state
+        j = jnp.argmax(live_scores)
+        s = live_scores[j]
+        picked = s > NEG / 2
+        keep_idx = keep_idx.at[i].set(jnp.where(picked, j, -1))
+        keep_scores = keep_scores.at[i].set(jnp.where(picked, s, NEG))
+        # suppress overlaps with the pick (including the pick itself)
+        sup = (ious[j] > iou_thr) | (jnp.arange(n) == j)
+        live_scores = jnp.where(picked & sup, NEG, live_scores)
+        return live_scores, keep_idx, keep_scores
+
+    keep_idx = jnp.full((max_out,), -1, jnp.int32)
+    keep_scores = jnp.full((max_out,), NEG, scores.dtype)
+    _, keep_idx, keep_scores = jax.lax.fori_loop(
+        0, max_out, body, (scores, keep_idx, keep_scores))
+    return keep_idx, keep_scores, keep_scores > NEG / 2
+
+
+def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
+                       max_per_img: int, score_factors=None,
+                       pre_nms_top_n: int = 1000):
+    """Static-shape port of ``multiclass_nms_idx`` (bbox_nms.py:79-146).
+
+    Args:
+      boxes: (N, 4) class-agnostic boxes.
+      scores: (N, C) per-foreground-class sigmoid scores.
+      score_factors: (N,) multiplied into scores *after* thresholding on the
+        raw score (bbox_nms.py:111,121-122).
+      pre_nms_top_n: static cap on (box, class) candidate pairs entering NMS.
+    Returns dict with (all length max_per_img):
+      boxes (max_per_img, 4), scores, labels (0-based), idxs (input row), valid.
+    """
+    n, c = scores.shape
+    eff = scores * score_factors[:, None] if score_factors is not None else scores
+    valid = scores > score_thr  # raw-score threshold, as in the reference
+    eff = jnp.where(valid, eff, NEG)
+
+    flat = eff.reshape(-1)  # (N*C,) candidate (row, class) pairs
+    k = min(pre_nms_top_n, flat.shape[0])
+    top_scores, top_flat_idx = jax.lax.top_k(flat, k)
+    rows = top_flat_idx // c
+    cls = (top_flat_idx % c).astype(jnp.int32)
+    cand_boxes = boxes[rows]
+
+    keep, keep_scores, keep_valid = hard_nms(
+        cand_boxes, top_scores, iou_thr, max_per_img, class_ids=cls)
+    safe = jnp.clip(keep, 0)
+    return dict(
+        boxes=cand_boxes[safe] * keep_valid[:, None],
+        scores=jnp.where(keep_valid, keep_scores, 0.0),
+        labels=jnp.where(keep_valid, cls[safe], -1),
+        idxs=jnp.where(keep_valid, rows[safe], 0).astype(jnp.int32),
+        valid=keep_valid,
+    )
+
+
+def fast_nms(boxes, scores_cn, cofs, iou_thr: float = 0.5, top_k: int = 200,
+             score_thr: float = 0.1, max_out: int = 100):
+    """YOLACT-style matrix NMS (sipmask_head.py:868-910), fully vectorized.
+
+    Args:
+      boxes: (N, 4); scores_cn: (C, N) class-major scores (already multiplied
+        by centerness at the call site, :603); cofs: (N, D) per-location
+        payload (SP coefficients / track slots) gathered alongside.
+    Returns dict with (length max_out):
+      boxes (max_out, 4), scores, labels, cofs (max_out, D), valid.
+    """
+    c, n = scores_cn.shape
+    k = min(top_k, n)
+    scores_s, idx = jax.lax.top_k(scores_cn, k)  # (C, k) per-class desc sort
+    b = boxes[idx.reshape(-1)].reshape(c, k, 4)
+    iou = jaccard_nop1(b, b)  # (C, k, k), no +1 (YOLACT convention)
+    iou = jnp.triu(iou, k=1)
+    iou_max = iou.max(axis=1)  # (C, k) max IoU with any higher-scored same-class
+    keep = (iou_max <= iou_thr) & (scores_s > score_thr)
+
+    masked = jnp.where(keep, scores_s, NEG).reshape(-1)  # (C*k,)
+    out_scores, out_flat = jax.lax.top_k(masked, max_out)
+    out_cls = (out_flat // k).astype(jnp.int32)
+    picked = idx.reshape(-1)[out_flat]  # original location index
+    valid = out_scores > NEG / 2
+    return dict(
+        boxes=boxes[picked] * valid[:, None],
+        scores=jnp.where(valid, out_scores, 0.0),
+        labels=jnp.where(valid, out_cls, -1),
+        cofs=cofs[picked] * valid[:, None],
+        idxs=jnp.where(valid, picked, 0).astype(jnp.int32),
+        valid=valid,
+    )

@@ -1,0 +1,202 @@
+"""PyTorch checkpoint -> sipmask_tpu parameter conversion.
+
+Maps the reference's released ``.pth`` state_dicts (mmdetection naming:
+backbone.layerX.Y.convZ / neck.lateral_convs / bbox_head.*) onto this
+framework's flax param/constants trees, for AP-parity validation against
+published models. Works on a plain {name: np.ndarray} dict (use
+``torch.load(..., map_location='cpu')`` then ``.numpy()``; torch-cpu is
+available in this image).
+
+Layout notes:
+- conv weights OIHW -> HWIO; 1x1 offsets convs likewise;
+- frozen BN (weight/bias/running_mean/running_var) -> the ``constants``
+  collection (gamma/beta/mean/var);
+- GroupNorm weight/bias -> scale/bias;
+- mmdet ConvModule norm param name is 'gn' (ops/conv_module.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+from flax import traverse_util
+
+
+def _cw(w):  # conv weight OIHW -> HWIO
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
+                  ) -> Tuple[dict, dict]:
+    """Returns (params, constants) nested dicts."""
+    params, constants = {}, {}
+
+    def P(path, val):
+        params[tuple(path.split("/"))] = np.asarray(val)
+
+    def C(path, val):
+        constants[tuple(path.split("/"))] = np.asarray(val)
+
+    def bn(src, dst):
+        C(f"{dst}/gamma", sd[f"{src}.weight"])
+        C(f"{dst}/beta", sd[f"{src}.bias"])
+        C(f"{dst}/mean", sd[f"{src}.running_mean"])
+        C(f"{dst}/var", sd[f"{src}.running_var"])
+
+    # ---- backbone
+    P("backbone/conv1/kernel", _cw(sd["backbone.conv1.weight"]))
+    bn("backbone.bn1", "backbone/bn1")
+    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+    for s, nb in enumerate(blocks, start=1):
+        for b in range(nb):
+            src = f"backbone.layer{s}.{b}"
+            dst = f"backbone/layer{s}_{b}"
+            for ci in (1, 2, 3):
+                wkey = f"{src}.conv{ci}.weight"
+                if wkey in sd:
+                    P(f"{dst}/conv{ci}/kernel", _cw(sd[wkey]))
+                else:  # DCN conv2 (DeformConvPack)
+                    P(f"{dst}/conv{ci}/kernel",
+                      _cw(sd[f"{src}.conv{ci}.conv.weight"])
+                      if f"{src}.conv{ci}.conv.weight" in sd else
+                      _cw(sd[f"{src}.conv{ci}.weight"]))
+                if f"{src}.conv{ci}.conv_offset.weight" in sd:
+                    P(f"{dst}/conv{ci}/conv_offset/kernel",
+                      _cw(sd[f"{src}.conv{ci}.conv_offset.weight"]))
+                    P(f"{dst}/conv{ci}/conv_offset/bias",
+                      sd[f"{src}.conv{ci}.conv_offset.bias"])
+                bn(f"{src}.bn{ci}", f"{dst}/bn{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                P(f"{dst}/downsample_conv/kernel",
+                  _cw(sd[f"{src}.downsample.0.weight"]))
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+
+    # ---- neck (lateral 0..2 from C3..C5; fpn convs 0..4 incl. extras)
+    i = 0
+    while f"neck.lateral_convs.{i}.conv.weight" in sd:
+        P(f"neck/lateral_{i}/kernel",
+          _cw(sd[f"neck.lateral_convs.{i}.conv.weight"]))
+        P(f"neck/lateral_{i}/bias", sd[f"neck.lateral_convs.{i}.conv.bias"])
+        i += 1
+    i = 0
+    while f"neck.fpn_convs.{i}.conv.weight" in sd:
+        P(f"neck/fpn_{i}/kernel", _cw(sd[f"neck.fpn_convs.{i}.conv.weight"]))
+        P(f"neck/fpn_{i}/bias", sd[f"neck.fpn_convs.{i}.conv.bias"])
+        i += 1
+
+    # ---- head
+    def conv_module(src, dst):
+        P(f"{dst}/conv/kernel", _cw(sd[f"{src}.conv.weight"]))
+        if f"{src}.conv.bias" in sd:
+            P(f"{dst}/conv/bias", sd[f"{src}.conv.bias"])
+        if f"{src}.gn.weight" in sd:
+            P(f"{dst}/gn/scale", sd[f"{src}.gn.weight"])
+            P(f"{dst}/gn/bias", sd[f"{src}.gn.bias"])
+
+    hd = "bbox_head"
+    i = 0
+    while f"{hd}.cls_convs.{i}.conv.weight" in sd:
+        conv_module(f"{hd}.cls_convs.{i}", f"head/cls_convs_{i}")
+        i += 1
+    i = 0
+    while f"{hd}.reg_convs.{i}.conv.weight" in sd:
+        conv_module(f"{hd}.reg_convs.{i}", f"head/reg_convs_{i}")
+        i += 1
+    i = 0
+    while f"{hd}.track_convs.{i}.conv.weight" in sd:
+        conv_module(f"{hd}.track_convs.{i}", f"head/track_convs_{i}")
+        i += 1
+
+    for name in ("fcos_cls", "fcos_reg", "fcos_centerness", "sip_cof",
+                 "sip_mask_lat", "sip_mask_lat0", "sipmask_track"):
+        if f"{hd}.{name}.weight" in sd:
+            P(f"head/{name}/kernel", _cw(sd[f"{hd}.{name}.weight"]))
+            P(f"head/{name}/bias", sd[f"{hd}.{name}.bias"])
+
+    for i in range(5):
+        if f"{hd}.scales.{i}.scale" in sd:
+            P(f"head/scale_{i}/scale", sd[f"{hd}.scales.{i}.scale"])
+
+    # FeatureAlign
+    P("head/feat_align/conv_offset/kernel",
+      _cw(sd[f"{hd}.feat_align.conv_offset.weight"]))
+    P("head/feat_align/kernel",
+      _cw(sd[f"{hd}.feat_align.conv_adaption.weight"]))
+    if f"{hd}.feat_align.norm.weight" in sd:
+        P("head/feat_align/norm/scale", sd[f"{hd}.feat_align.norm.weight"])
+        P("head/feat_align/norm/bias", sd[f"{hd}.feat_align.norm.bias"])
+
+    # rescoring (SipMask++)
+    i = 0
+    while f"{hd}.convs_scoring.{i}.conv.weight" in sd:
+        P(f"rescoring/convs_scoring_{i}/kernel",
+          _cw(sd[f"{hd}.convs_scoring.{i}.conv.weight"]))
+        P(f"rescoring/convs_scoring_{i}/bias",
+          sd[f"{hd}.convs_scoring.{i}.conv.bias"])
+        i += 1
+    if f"{hd}.mask_scoring.weight" in sd:
+        P("rescoring/mask_scoring/kernel", _cw(sd[f"{hd}.mask_scoring.weight"]))
+        P("rescoring/mask_scoring/bias", sd[f"{hd}.mask_scoring.bias"])
+
+    return (traverse_util.unflatten_dict(params),
+            traverse_util.unflatten_dict(constants))
+
+
+def flax_to_torch_names(params: dict, constants: dict, depth: int = 50
+                        ) -> Dict[str, np.ndarray]:
+    """Inverse mapping (for tests / exporting back)."""
+    # build by round-tripping: construct the torch dict whose conversion
+    # reproduces (params, constants)
+    out = {}
+    flat_p = traverse_util.flatten_dict(params)
+    flat_c = traverse_util.flatten_dict(constants)
+
+    def inv_cw(w):
+        return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+    for path, v in flat_p.items():
+        name = "/".join(path)
+        v = np.asarray(v)
+        torch_name = _flax_path_to_torch(name)
+        if path[-1] == "kernel" and v.ndim == 4:
+            v = inv_cw(v)
+        out[torch_name] = v
+    for path, v in flat_c.items():
+        name = "/".join(path)
+        out[_flax_path_to_torch(name)] = np.asarray(v)
+    return out
+
+
+def _flax_path_to_torch(name: str) -> str:
+    import re
+    n = name
+    n = re.sub(r"^backbone/layer(\d)_(\d+)/", r"backbone.layer\1.\2.", n)
+    n = n.replace("downsample_conv/kernel", "downsample.0.weight")
+    n = n.replace("downsample_bn/", "downsample.1/")
+    n = re.sub(r"^neck/lateral_(\d)/", r"neck.lateral_convs.\1.conv.", n)
+    n = re.sub(r"^neck/fpn_(\d)/", r"neck.fpn_convs.\1.conv.", n)
+    n = re.sub(r"^head/(cls|reg|track)_convs_(\d)/conv/",
+               r"bbox_head.\1_convs.\2.conv.", n)
+    n = re.sub(r"^head/(cls|reg|track)_convs_(\d)/gn/",
+               r"bbox_head.\1_convs.\2.gn.", n)
+    n = re.sub(r"^head/scale_(\d)/scale", r"bbox_head.scales.\1.scale", n)
+    n = n.replace("head/feat_align/conv_offset/",
+                  "bbox_head.feat_align.conv_offset.")
+    n = n.replace("head/feat_align/norm/", "bbox_head.feat_align.norm.")
+    n = n.replace("head/feat_align/kernel",
+                  "bbox_head.feat_align.conv_adaption.weight")
+    n = re.sub(r"^rescoring/convs_scoring_(\d)/",
+               r"bbox_head.convs_scoring.\1.conv.", n)
+    n = n.replace("rescoring/mask_scoring/", "bbox_head.mask_scoring.")
+    n = re.sub(r"^head/", "bbox_head.", n)
+    n = re.sub(r"^backbone/", "backbone.", n)
+    n = n.replace("/", ".")
+    n = n.replace(".kernel", ".weight")
+    n = n.replace(".scale", ".weight") if n.endswith("gn.scale") else n
+    n = (n.replace(".gamma", ".weight").replace(".beta", ".bias")
+         .replace(".mean", ".running_mean").replace(".var", ".running_var"))
+    # GroupNorm scale -> weight
+    n = n.replace("gn.scale", "gn.weight")
+    n = n.replace("norm.scale", "norm.weight")
+    return n

@@ -1,0 +1,152 @@
+"""Data pipeline tests: COCO JSON parsing, polygon/RLE rasterization,
+transforms (static-shape buckets), and the grouped loader."""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from sipmask_tpu.config import DataConfig
+from sipmask_tpu.data.coco import (CocoDataset, rasterize_polygons,
+                                   decode_rle_counts)
+from sipmask_tpu.data.transforms import (TrainTransform, TestTransform,
+                                         imrescale_size)
+from sipmask_tpu.data.loader import build_train_loader, build_test_loader
+
+
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    sizes = [(120, 160), (160, 120), (100, 140)]  # (h, w)
+    for i, (h, w) in enumerate(sizes):
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+        images.append(dict(id=i + 1, file_name=f"{i}.jpg", width=w, height=h))
+        for _ in range(2):
+            x, y = rng.randint(5, w // 2), rng.randint(5, h // 2)
+            bw, bh = rng.randint(10, w // 2), rng.randint(10, h // 2)
+            poly = [x, y, x + bw, y, x + bw, y + bh, x, y + bh]
+            annotations.append(dict(
+                id=aid, image_id=i + 1, category_id=[1, 18][aid % 2],
+                bbox=[x, y, bw, bh], area=bw * bh, iscrowd=0,
+                segmentation=[poly]))
+            aid += 1
+    categories = [dict(id=1, name="person"), dict(id=18, name="dog")]
+    ann = dict(images=images, annotations=annotations, categories=categories)
+    ann_file = root / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+class TestCoco:
+    def test_parse_and_labels(self, tiny_coco):
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        assert len(ds) == 3
+        boxes, labels, masks = ds.get_ann(0)
+        assert boxes.shape[1] == 4 and len(labels) == 2
+        assert set(labels).issubset({1, 2})  # contiguous ids
+        assert masks.shape[0] == 2
+        # mask roughly fills the box
+        x1, y1, x2, y2 = boxes[0].astype(int)
+        assert masks[0, (y1 + y2) // 2, (x1 + x2) // 2] == 1
+        assert masks[0].sum() >= 0.8 * (x2 - x1) * (y2 - y1)
+
+    def test_rle_roundtrip_uncompressed(self):
+        m = np.zeros((7, 9), np.uint8)
+        m[2:5, 3:6] = 1
+        # build column-major runs
+        flat = m.T.reshape(-1)
+        runs, last, cnt = [], 0, 0
+        for v in flat:
+            if v == last:
+                cnt += 1
+            else:
+                runs.append(cnt)
+                last, cnt = v, 1
+        runs.append(cnt)
+        out = decode_rle_counts(runs, 7, 9)
+        np.testing.assert_array_equal(out, m)
+
+    def test_polygon_raster_triangle(self):
+        m = rasterize_polygons([[0, 0, 10, 0, 0, 10]], 12, 12)
+        assert m[1, 1] == 1 and m[11, 11] == 0
+
+
+class TestTransforms:
+    def test_keep_ratio_size(self):
+        assert imrescale_size(480, 640, (1333, 800)) == (800, 1067)
+        h, w = imrescale_size(640, 480, (1333, 800))
+        assert (h, w) == (1067, 800)
+
+    def test_train_transform_buckets(self, tiny_coco):
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        cfg = DataConfig(img_scale=(160, 96), max_gts=8)
+        tf = TrainTransform(cfg, seed=0)
+        s = tf(ds.load_image(0), *ds.get_ann(0), image_id=1)
+        assert s.image.shape == (96, 160, 3)  # landscape bucket, div 32
+        assert s.gt_bboxes.shape == (8, 4)
+        assert s.gt_masks.shape == (8, 48, 80)
+        assert s.gt_labels[2:].sum() == 0  # padded
+        # boxes stay inside resized shape
+        oh, ow = s.img_shape
+        assert s.gt_bboxes[:, 2].max() <= ow
+        assert s.gt_bboxes[:, 3].max() <= oh
+        # portrait image -> portrait bucket
+        s2 = tf(ds.load_image(1), *ds.get_ann(1), image_id=2)
+        assert s2.image.shape == (160, 96, 3)
+
+    def test_mask_box_consistency(self, tiny_coco):
+        """gt mask (stride-2) must lie roughly inside gt box / 2."""
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        cfg = DataConfig(img_scale=(160, 96), max_gts=8, flip_ratio=0.0)
+        tf = TrainTransform(cfg, seed=3)
+        s = tf(ds.load_image(0), *ds.get_ann(0), image_id=1)
+        for i in range(2):
+            ys, xs = np.where(s.gt_masks[i])
+            if not len(ys):
+                continue
+            x1, y1, x2, y2 = s.gt_bboxes[i] / 2
+            assert xs.min() >= x1 - 2 and xs.max() <= x2 + 2
+            assert ys.min() >= y1 - 2 and ys.max() <= y2 + 2
+
+    def test_ssd_augs_run(self, tiny_coco):
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        cfg = DataConfig(fixed_size=(64, 64), img_scale=(64, 64),
+                         ssd_augs=True, max_gts=8)
+        tf = TrainTransform(cfg, seed=1)
+        for i in range(3):
+            s = tf(ds.load_image(i), *ds.get_ann(i), image_id=i)
+            assert s.image.shape == (64, 64, 3)
+            assert np.isfinite(s.image).all()
+            n = int((s.gt_labels > 0).sum())
+            assert n >= 1
+
+
+class TestLoader:
+    def test_train_loader_batches(self, tiny_coco):
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        cfg = DataConfig(img_scale=(160, 96), max_gts=8)
+        it, steps = build_train_loader(ds, TrainTransform(cfg, 0),
+                                       batch_size=2, num_workers=2)
+        assert steps >= 1
+        b = next(it)
+        assert b["images"].shape[0] == 2
+        # aspect-grouped: all images in a batch share a bucket shape
+        assert b["images"].shape[1:] in ((96, 160, 3), (160, 96, 3))
+        assert b["gt_masks"].dtype == np.uint8
+
+    def test_test_loader_covers_all(self, tiny_coco):
+        ds = CocoDataset(*tiny_coco, min_size=1, test_mode=True)
+        cfg = DataConfig(img_scale=(160, 96))
+        seen = set()
+        for batch, n_valid in build_test_loader(ds, TestTransform(cfg),
+                                                batch_size=2, num_workers=2):
+            seen.update(batch["image_ids"][:n_valid].tolist())
+        assert seen == {1, 2, 3}

@@ -1,0 +1,296 @@
+"""Op-level parity tests against numpy transcriptions of the reference CUDA
+kernels (crop_split_cuda_kernel.cu, nms_kernel.cu, deform_conv_cuda_kernel.cu)
+and the pure-Python fallback (sipmask_head.py:58-105)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sipmask_tpu.ops import (quadrant_masks, box_crop_mask, crop_split,
+                             assemble_masks, mask_bce_loss, hard_nms,
+                             multiclass_nms_idx, fast_nms, deform_conv2d)
+
+
+# ---------------------------------------------------------------- crop_split
+
+def _crop_split_cuda_oracle(stack, boxes):
+    """Direct numpy transcription of CropSplitKernelForward (:29-58)."""
+    _, h, w, n = stack.shape
+    out = np.zeros((h, w, n), np.float32)
+    for ni in range(n):
+        x1, y1, x2, y2 = boxes[ni]
+        for ph in range(h):
+            for pw in range(w):
+                if pw >= x1 and ph >= y1 and pw < x2 and ph < y2:
+                    roi_w = (x2 - x1 + 0.1) / 2
+                    roi_h = (y2 - y1 + 0.1) / 2
+                    idx_w = int((pw - x1) / roi_w)
+                    idx_h = int((ph - y1) / roi_h)
+                    out[ph, pw, ni] = stack[idx_h * 2 + idx_w, ph, pw, ni]
+    return out
+
+
+class TestCropSplit:
+    def test_matches_cuda_kernel_semantics(self):
+        rng = np.random.RandomState(0)
+        h, w, n = 17, 23, 5
+        stack = rng.rand(4, h, w, n).astype(np.float32)
+        boxes = np.stack([
+            rng.uniform(0, w - 2, n), rng.uniform(0, h - 2, n),
+            rng.uniform(2, w + 3, n), rng.uniform(2, h + 3, n)], -1)
+        boxes[:, 2] = np.maximum(boxes[:, 2], boxes[:, 0] + 1)
+        boxes[:, 3] = np.maximum(boxes[:, 3], boxes[:, 1] + 1)
+        boxes = boxes.astype(np.float32)
+        expect = _crop_split_cuda_oracle(stack, boxes)
+        got = np.asarray(crop_split(jnp.asarray(stack), jnp.asarray(boxes)))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+    def test_quadrants_partition_box(self):
+        boxes = jnp.array([[2.0, 3.0, 18.0, 15.0]])
+        q = np.asarray(quadrant_masks(boxes, 20, 24))
+        whole = np.asarray(box_crop_mask(boxes, 20, 24))
+        np.testing.assert_allclose(q.sum(0), whole)  # disjoint partition
+        assert q.sum() > 0
+
+    def test_assemble_equals_stack_then_crop(self):
+        rng = np.random.RandomState(1)
+        h, w, nb, n = 16, 16, 8, 4
+        basis = rng.randn(h, w, nb).astype(np.float32)
+        cofs = rng.randn(n, 4 * nb).astype(np.float32)
+        boxes = np.array([[1, 1, 9, 9], [4, 2, 15, 13],
+                          [0, 0, 16, 16], [5, 5, 6.5, 7.2]], np.float32)
+        flat = basis.reshape(-1, nb)
+        planes = [1 / (1 + np.exp(-(flat @ cofs[:, i * nb:(i + 1) * nb].T)))
+                  for i in range(4)]
+        stack = np.stack([p.reshape(h, w, n) for p in planes], 0)
+        expect = _crop_split_cuda_oracle(stack, boxes)
+        got = np.asarray(assemble_masks(jnp.asarray(basis), jnp.asarray(cofs),
+                                        jnp.asarray(boxes)))
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    def test_mask_bce_matches_reference_sequence(self):
+        """BCE-on-logits fused loss == sigmoid->crop->BCE of the reference."""
+        rng = np.random.RandomState(2)
+        h, w, nb, k = 16, 16, 8, 3
+        basis = rng.randn(h, w, nb).astype(np.float32)
+        cofs = rng.randn(k, 4 * nb).astype(np.float32)
+        boxes = np.array([[1, 1, 9, 9], [4, 2, 15, 13], [0, 0, 16, 16]],
+                         np.float32)
+        gt = (rng.rand(h, w, k) > 0.5).astype(np.float32)
+
+        flat = basis.reshape(-1, nb)
+        planes = [1 / (1 + np.exp(-(flat @ cofs[:, i * nb:(i + 1) * nb].T)))
+                  for i in range(4)]
+        stack = np.stack([p.reshape(h, w, k) for p in planes], 0)
+        pred = _crop_split_cuda_oracle(stack, boxes)
+        gt_crop = gt * _crop_split_cuda_oracle(
+            np.stack([np.ones_like(gt)] * 4, 0), boxes)
+        eps = 1e-12
+        bce = -(gt_crop * np.log(np.clip(pred, eps, 1)) +
+                (1 - gt_crop) * np.log(np.clip(1 - pred, eps, 1)))
+        expect = bce.sum((0, 1))
+        got = np.asarray(mask_bce_loss(jnp.asarray(basis), jnp.asarray(cofs),
+                                       jnp.asarray(boxes), jnp.asarray(gt)))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-3)
+
+    def test_mask_bce_grad_finite(self):
+        rng = np.random.RandomState(3)
+        basis = jnp.asarray(rng.randn(8, 8, 4).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(2, 16).astype(np.float32))
+        boxes = jnp.array([[1, 1, 6, 6], [2, 2, 7, 7]], jnp.float32)
+        gt = jnp.zeros((8, 8, 2))
+        g = jax.grad(lambda b, c: mask_bce_loss(b, c, boxes, gt).sum(),
+                     argnums=(0, 1))(basis, cofs)
+        assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+# ----------------------------------------------------------------------- NMS
+
+def _greedy_nms_oracle(boxes, scores, iou_thr):
+    """Plain-python greedy NMS with the +1 IoU (nms_kernel.cu:14-21)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if suppressed[j] or j == i:
+                continue
+            xx1 = max(boxes[i, 0], boxes[j, 0])
+            yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2])
+            yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1 + 1, 0) * max(yy2 - yy1 + 1, 0)
+            sa = (boxes[i, 2] - boxes[i, 0] + 1) * (boxes[i, 3] - boxes[i, 1] + 1)
+            sb = (boxes[j, 2] - boxes[j, 0] + 1) * (boxes[j, 3] - boxes[j, 1] + 1)
+            if inter / (sa + sb - inter) > iou_thr:
+                suppressed[j] = True
+    return keep
+
+
+class TestNMS:
+    def test_hard_nms_matches_oracle(self):
+        rng = np.random.RandomState(0)
+        n = 60
+        boxes = rng.uniform(0, 80, (n, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 40, (n, 2))
+        scores = rng.rand(n).astype(np.float32)
+        expect = _greedy_nms_oracle(boxes, scores, 0.5)
+        keep, ks, valid = hard_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                   0.5, 30)
+        got = [int(i) for i, v in zip(np.asarray(keep), np.asarray(valid)) if v]
+        assert got == expect[:30]
+
+    def test_multiclass_nms_basic(self):
+        boxes = jnp.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60],
+                           [0, 0, 10, 10]], jnp.float32)
+        # cls0: rows 0,1 overlap (dedup); cls1: row 3 same box but other class
+        scores = jnp.array([[0.9, 0.01], [0.8, 0.01], [0.7, 0.01],
+                            [0.01, 0.6]], jnp.float32)
+        out = multiclass_nms_idx(boxes, scores, 0.05, 0.5, 10)
+        v = np.asarray(out["valid"])
+        assert v.sum() == 3
+        kept = set(map(tuple, zip(np.asarray(out["idxs"])[v],
+                                  np.asarray(out["labels"])[v])))
+        assert kept == {(0, 0), (2, 0), (3, 1)}
+
+    def test_multiclass_nms_score_factor_ordering(self):
+        boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+        scores = jnp.array([[0.9], [0.8]], jnp.float32)
+        factors = jnp.array([0.1, 1.0])
+        out = multiclass_nms_idx(boxes, scores, 0.05, 0.5, 2,
+                                 score_factors=factors)
+        s = np.asarray(out["scores"])
+        # effective scores 0.09 vs 0.8 -> row 1 first
+        assert np.asarray(out["idxs"])[0] == 1
+        np.testing.assert_allclose(s[:2], [0.8, 0.09], rtol=1e-5)
+
+    def test_fast_nms_matches_torch_oracle(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(4)
+        n, c = 40, 3
+        boxes = rng.uniform(0, 60, (n, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 30, (n, 2))
+        scores = rng.rand(c, n).astype(np.float32)
+        cofs = rng.randn(n, 8).astype(np.float32)
+
+        # --- torch oracle: transcription of sipmask_head.py:868-910
+        tb, ts, tm = torch.tensor(boxes), torch.tensor(scores), torch.tensor(cofs)
+        s_sorted, idx = ts.sort(1, descending=True)
+        idx = idx[:, :20]
+        s_sorted = s_sorted[:, :20]
+        bb = tb[idx.reshape(-1)].view(c, 20, 4)
+        def _iou(a, b):
+            maxxy = torch.min(a[:, :, None, 2:], b[:, None, :, 2:])
+            minxy = torch.max(a[:, :, None, :2], b[:, None, :, :2])
+            wh = (maxxy - minxy).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            aa = ((a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1]))[:, :, None]
+            ab = ((b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1]))[:, None, :]
+            return inter / (aa + ab - inter)
+        iou = _iou(bb, bb).triu_(diagonal=1)
+        iou_max, _ = iou.max(dim=1)
+        keep = (iou_max <= 0.5) & (s_sorted > 0.3)
+        classes = torch.arange(c)[:, None].expand_as(keep)[keep]
+        kb = bb[keep]
+        ks = s_sorted[keep]
+        ks, order = ks.sort(0, descending=True)
+        order = order[:10]
+        expect_scores = ks[:10].numpy()
+        expect_cls = classes[order].numpy()
+        expect_boxes = kb[order].numpy()
+
+        out = fast_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                       jnp.asarray(cofs), iou_thr=0.5, top_k=20,
+                       score_thr=0.3, max_out=10)
+        v = np.asarray(out["valid"])
+        nv = v.sum()
+        np.testing.assert_allclose(np.asarray(out["scores"])[:nv],
+                                   expect_scores[:nv], rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out["labels"])[:nv],
+                                      expect_cls[:nv])
+        np.testing.assert_allclose(np.asarray(out["boxes"])[:nv],
+                                   expect_boxes[:nv], rtol=1e-5)
+
+
+# --------------------------------------------------------------- deform conv
+
+def _deform_conv_oracle(x, offsets, weight, stride, pad, dil, g):
+    """Naive numpy deformable conv, NHWC, CUDA offset layout [dy,dx]."""
+    b, h, w, c = x.shape
+    kh, kw, _, o = weight.shape
+    k = kh * kw
+    ho = (h + 2 * pad - dil * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * pad - dil * (kw - 1) - 1) // stride + 1
+    cg = c // g
+    out = np.zeros((b, ho, wo, o), np.float32)
+    off = offsets.reshape(b, ho, wo, g, k, 2)
+    for bi in range(b):
+        for oy in range(ho):
+            for ox in range(wo):
+                col = np.zeros((kh, kw, c), np.float32)
+                for i in range(kh):
+                    for j in range(kw):
+                        for gi in range(g):
+                            dy, dx = off[bi, oy, ox, gi, i * kw + j]
+                            py = oy * stride - pad + i * dil + dy
+                            px = ox * stride - pad + j * dil + dx
+                            y0, x0 = int(np.floor(py)), int(np.floor(px))
+                            val = np.zeros(cg, np.float32)
+                            for yy, wy in ((y0, 1 - (py - y0)), (y0 + 1, py - y0)):
+                                for xx, wx in ((x0, 1 - (px - x0)), (x0 + 1, px - x0)):
+                                    if 0 <= yy < h and 0 <= xx < w:
+                                        val += wy * wx * x[bi, yy, xx,
+                                                           gi * cg:(gi + 1) * cg]
+                            col[i, j, gi * cg:(gi + 1) * cg] = val
+                out[bi, oy, ox] = np.einsum("ijc,ijco->o", col, weight)
+    return out
+
+
+class TestDeformConv:
+    def test_zero_offsets_equal_standard_conv(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 9, 11, 6).astype(np.float32)
+        wgt = rng.randn(3, 3, 6, 4).astype(np.float32)
+        offs = np.zeros((2, 9, 11, 2 * 9 * 2), np.float32)
+        got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offs),
+                                       jnp.asarray(wgt), deform_groups=2))
+        ref = torch.nn.functional.conv2d(
+            torch.tensor(x).permute(0, 3, 1, 2),
+            torch.tensor(wgt).permute(3, 2, 0, 1), padding=1)
+        np.testing.assert_allclose(got, ref.permute(0, 2, 3, 1).numpy(),
+                                   atol=2e-4)
+
+    def test_matches_naive_oracle_with_offsets(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(1, 7, 8, 4).astype(np.float32)
+        wgt = rng.randn(3, 3, 4, 5).astype(np.float32)
+        offs = (rng.randn(1, 7, 8, 2 * 9 * 2) * 1.5).astype(np.float32)
+        expect = _deform_conv_oracle(x, offs, wgt, 1, 1, 1, 2)
+        got = np.asarray(deform_conv2d(jnp.asarray(x), jnp.asarray(offs),
+                                       jnp.asarray(wgt), deform_groups=2))
+        np.testing.assert_allclose(got, expect, atol=1e-3)
+
+    def test_gradients_flow_to_offsets(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(3, 3, 4, 2).astype(np.float32))
+        offs = jnp.asarray((rng.randn(1, 6, 6, 18) * 0.5).astype(np.float32))
+        g = jax.grad(lambda o: deform_conv2d(x, o, wgt).sum())(offs)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+    def test_modulated_mask_scales_output(self):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 5, 5, 2).astype(np.float32))
+        wgt = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+        offs = jnp.zeros((1, 5, 5, 18))
+        half = jnp.full((1, 5, 5, 9), 0.5)
+        full_out = deform_conv2d(x, offs, wgt)
+        half_out = deform_conv2d(x, offs, wgt, mask=half)
+        np.testing.assert_allclose(np.asarray(half_out),
+                                   np.asarray(full_out) * 0.5, atol=1e-5)

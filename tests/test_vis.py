@@ -1,0 +1,193 @@
+"""VIS subsystem tests: YTVOS dataset pairs/gt_pids, pair transform,
+tracker state machine, match loss, and the track-level evaluator."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sipmask_tpu.config import DataConfig
+from sipmask_tpu.data.ytvos import YTVOSDataset
+from sipmask_tpu.data.transforms import VISPairTransform
+from sipmask_tpu.models.track import (extract_center_feats, tracker_init,
+                                      tracker_step, track_match_loss_single)
+from sipmask_tpu.eval.ytvos_eval import YTVOSEvaluator, track_iou
+from sipmask_tpu.eval.rle import encode_mask
+
+
+@pytest.fixture(scope="module")
+def tiny_ytvos(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ytvos")
+    img_dir = root / "imgs"
+    (img_dir / "v1").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    import cv2
+    frames = []
+    for f in range(3):
+        name = f"v1/{f}.jpg"
+        cv2.imwrite(str(img_dir / name),
+                    rng.randint(0, 255, (60, 80, 3), np.uint8))
+        frames.append(name)
+    # two object tracks; obj B missing in frame 1
+    def box(x, y):
+        return [x, y, 20, 15]  # xywh
+    def poly(x, y):
+        return [[x, y, x + 20, y, x + 20, y + 15, x, y + 15]]
+    ann = dict(
+        videos=[dict(id=1, width=80, height=60, file_names=frames)],
+        categories=[dict(id=i + 1, name=str(i)) for i in range(3)],
+        annotations=[
+            dict(id=1, video_id=1, category_id=1, iscrowd=0,
+                 bboxes=[box(5, 5), box(8, 6), box(11, 8)],
+                 segmentations=[poly(5, 5), poly(8, 6), poly(11, 8)],
+                 areas=[300, 300, 300]),
+            dict(id=2, video_id=1, category_id=2, iscrowd=0,
+                 bboxes=[box(50, 30), None, box(55, 35)],
+                 segmentations=[poly(50, 30), None, poly(55, 35)],
+                 areas=[300, None, 300]),
+        ])
+    f = root / "ann.json"
+    f.write_text(json.dumps(ann))
+    return str(f), str(img_dir)
+
+
+class TestYTVOSDataset:
+    def test_pairs_and_gt_pids(self, tiny_ytvos):
+        ds = YTVOSDataset(*tiny_ytvos, seed=0)
+        assert len(ds) == 3  # all frames have some gt
+        # find the sample for frame 1 (obj B absent there)
+        idx = ds.img_ids.index((0, 1))
+        # force ref frame to 0 (both objects present)
+        ds.rng = np.random.RandomState(1)
+        pair = ds.get_train_pair(idx)
+        assert pair["boxes"].shape[0] == 1  # only obj A in frame 1
+        assert pair["gt_pids"][0] in (1, 2)
+        # frame 0 current, whatever ref: obj ids map correctly
+        pair0 = ds.get_train_pair(ds.img_ids.index((0, 0)))
+        assert pair0["boxes"].shape[0] == 2
+        assert pair0["masks"].shape[1:] == (60, 80)
+
+    def test_pair_transform_shapes(self, tiny_ytvos):
+        ds = YTVOSDataset(*tiny_ytvos, seed=0)
+        cfg = DataConfig(img_scale=(96, 64), max_gts=8)
+        tf = VISPairTransform(cfg, seed=0)
+        out = tf(ds.get_train_pair(0))
+        assert out["image"].shape == out["ref_image"].shape == (64, 96, 3)
+        assert out["gt_masks"].shape == (8, 32, 48)
+        assert out["ref_bboxes_jit"].shape == (8, 4)
+        assert out["gt_pids"].shape == (8,)
+
+
+class TestTracker:
+    def test_first_frame_assigns_sequential_ids(self):
+        state = tracker_init(8)
+        boxes = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30.]])
+        state, ids = tracker_step(state, boxes, jnp.asarray([0.9, 0.8]),
+                                  jnp.asarray([1, 2]),
+                                  jnp.asarray([True, True]),
+                                  jnp.ones((2, 512)) * 0.1,
+                                  jnp.asarray(True))
+        assert list(np.asarray(ids)) == [0, 1]
+        assert int(state.count) == 2
+
+    def test_second_frame_matches_same_object(self):
+        state = tracker_init(8)
+        f1 = jnp.asarray(np.eye(2, 512, dtype=np.float32) * 5)
+        boxes = jnp.asarray([[0, 0, 10, 10], [40, 40, 50, 50.]])
+        state, ids = tracker_step(state, boxes, jnp.asarray([0.9, 0.8]),
+                                  jnp.asarray([1, 2]),
+                                  jnp.asarray([True, True]), f1,
+                                  jnp.asarray(True))
+        # same embeddings, slightly moved boxes -> must match 0 and 1
+        boxes2 = jnp.asarray([[2, 2, 12, 12], [42, 42, 52, 52.]])
+        state, ids2 = tracker_step(state, boxes2, jnp.asarray([0.85, 0.8]),
+                                   jnp.asarray([1, 2]),
+                                   jnp.asarray([True, True]), f1,
+                                   jnp.asarray(False))
+        assert list(np.asarray(ids2)) == [0, 1]
+        assert int(state.count) == 2  # no new tracks
+
+    def test_new_object_spawns_id(self):
+        state = tracker_init(8)
+        f = jnp.asarray(np.eye(3, 512, dtype=np.float32) * 5)
+        b1 = jnp.asarray([[0, 0, 10, 10.]])
+        state, _ = tracker_step(state, b1, jnp.asarray([0.9]),
+                                jnp.asarray([1]), jnp.asarray([True]),
+                                f[:1], jnp.asarray(True))
+        # second frame: far box, orthogonal embedding, different label
+        b2 = jnp.asarray([[60, 60, 70, 70.]])
+        state, ids = tracker_step(state, b2, jnp.asarray([0.9]),
+                                  jnp.asarray([2]), jnp.asarray([True]),
+                                  f[1:2], jnp.asarray(False))
+        assert int(ids[0]) == 1
+        assert int(state.count) == 2
+
+    def test_invalid_dets_ignored(self):
+        state = tracker_init(4)
+        boxes = jnp.zeros((3, 4))
+        state, ids = tracker_step(state, boxes, jnp.zeros(3),
+                                  jnp.zeros(3, jnp.int32),
+                                  jnp.asarray([False, False, False]),
+                                  jnp.zeros((3, 512)), jnp.asarray(True))
+        assert int(state.count) == 0
+        assert all(i == -1 for i in np.asarray(ids))
+
+
+class TestMatchLoss:
+    def test_perfect_embedding_low_loss(self):
+        hf, wf = 8, 8
+        track = np.zeros((hf, wf, 512), np.float32)
+        ref = np.zeros((hf, wf, 512), np.float32)
+        # object at center (16,16) input coords -> cell (2,2)
+        track[2, 2, 0] = 5.0
+        ref[2, 2, 0] = 5.0
+        box_sel = jnp.asarray([[6., 6., 10., 10.]])  # mask coords; *2 -> 12..20
+        ce, acc, n = track_match_loss_single(
+            jnp.asarray(track), jnp.asarray(ref), box_sel,
+            jnp.asarray([True]), jnp.asarray([0]),
+            gt_pids=jnp.asarray([1]),
+            ref_boxes=jnp.asarray([[12., 12., 20., 20.]]),
+            ref_valid=jnp.asarray([True]))
+        assert float(acc) == 1.0
+        assert float(ce) < 0.1
+        # unmatched (pid 0) with same embeddings -> should be high loss
+        ce2, acc2, _ = track_match_loss_single(
+            jnp.asarray(track), jnp.asarray(ref), box_sel,
+            jnp.asarray([True]), jnp.asarray([0]),
+            gt_pids=jnp.asarray([0]),
+            ref_boxes=jnp.asarray([[12., 12., 20., 20.]]),
+            ref_valid=jnp.asarray([True]))
+        assert float(ce2) > float(ce)
+
+    def test_extract_center_feats(self):
+        tf = np.arange(4 * 4 * 2, dtype=np.float32).reshape(4, 4, 2)
+        boxes = jnp.asarray([[0., 0., 16., 16.]])  # center (8,8)/8 -> (1,1)
+        out = np.asarray(extract_center_feats(jnp.asarray(tf), boxes))
+        np.testing.assert_allclose(out[0], tf[1, 1])
+
+
+class TestTrackIoU:
+    def test_track_iou_with_missing_frames(self):
+        a = np.zeros((10, 10), np.uint8); a[:5] = 1
+        b = np.zeros((10, 10), np.uint8); b[:5] = 1
+        ra, rb = encode_mask(a), encode_mask(b)
+        # identical in frame0; dt missing frame1 while gt present
+        iou = track_iou([ra, None], [rb, rb], 10, 10)
+        assert abs(iou - 50 / 100) < 1e-6
+
+    def test_evaluator_perfect_track_ap1(self):
+        m = np.zeros((10, 10), np.uint8); m[2:6, 2:6] = 1
+        rle = encode_mask(m)
+        ann = dict(videos=[dict(id=1, width=10, height=10,
+                                file_names=["a", "b"])],
+                   categories=[dict(id=1, name="x")],
+                   annotations=[dict(id=1, video_id=1, category_id=1,
+                                     iscrowd=0, areas=[16, 16],
+                                     segmentations=[rle, rle])])
+        ev = YTVOSEvaluator(ann_data=ann)
+        ev.update([dict(video_id=1, category_id=1, score=0.9,
+                        segmentations=[rle, rle])])
+        stats = ev.summarize(verbose=False)
+        assert abs(stats["AP"] - 1.0) < 1e-6

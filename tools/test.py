@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Evaluate a SipMask model on COCO val (tools/test.py analog)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?", default=None)
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-prefix", required=True)
+    ap.add_argument("--out", default=None, help="dump results json")
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--eval", nargs="+", default=["bbox", "segm"])
+    args = ap.parse_args()
+
+    from sipmask_tpu.config import get_config
+    from sipmask_tpu.apis.inference import init_detector
+    from sipmask_tpu.apis.test import run_inference, evaluate_coco
+    from sipmask_tpu.data import CocoDataset
+
+    cfg = get_config(args.config)
+    det = init_detector(cfg, checkpoint=args.checkpoint)
+    dataset = CocoDataset(args.ann, args.img_prefix, test_mode=True)
+    results = run_inference(det.model, det.variables, cfg, dataset,
+                            batch_size=args.batch_size)
+    if args.out:
+        def _ser(r):
+            r = dict(r)
+            if "segmentation" in r:
+                r["segmentation"] = {
+                    "size": r["segmentation"]["size"],
+                    "counts": r["segmentation"]["counts"].decode()}
+            return r
+        with open(args.out, "w") as f:
+            json.dump([_ser(r) for r in results], f)
+    evaluate_coco(results, args.ann, metrics=args.eval)
+
+
+if __name__ == "__main__":
+    main()

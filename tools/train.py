@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Train a SipMask model (tools/train.py analog).
+
+Example:
+  python tools/train.py sipmask_r50_fpn_gn_1x \
+      --ann data/coco/annotations/instances_train2017.json \
+      --img-prefix data/coco/train2017 --work-dir work_dirs/r50_1x
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", help="preset name (sipmask_tpu.config)")
+    ap.add_argument("--ann", required=True)
+    ap.add_argument("--img-prefix", required=True)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--load-from", default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    args = ap.parse_args()
+
+    from sipmask_tpu.config import get_config, _r
+    from sipmask_tpu.apis import train_detector
+
+    cfg = get_config(args.config)
+    if args.seed is not None:
+        cfg = _r(cfg, "train", seed=args.seed)
+    train_detector(cfg, args.ann, args.img_prefix, args.work_dir,
+                   resume=not args.no_resume, load_from=args.load_from,
+                   max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
