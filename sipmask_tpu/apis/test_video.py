@@ -18,7 +18,7 @@ import cv2
 
 from ..config import SipMaskConfig
 from ..data.transforms import TestTransform
-from ..eval.rle import encode_mask
+from ..native import encode_mask  # C++ codec, numpy fallback inside
 from ..models.decode import decode_batch
 from ..models.track import (tracker_init, tracker_step, extract_center_feats)
 

@@ -7,6 +7,12 @@ greedy score-ordered matching per (image, category) at IoU thresholds
 0.5:0.05:0.95, crowd/ignore handling, area ranges, maxDets=100, 101-point
 interpolated AP. Verified against hand-constructed cases in
 tests/test_eval.py.
+
+Structure mirrors pycocotools for efficiency: IoUs are computed ONCE per
+(image, category) — segm IoUs in run-length space through the native C++
+library (sipmask_tpu/native/maskops.cpp) without ever materializing dense
+masks — then reused across the four area ranges, which only change the
+ignore flags.
 """
 
 from __future__ import annotations
@@ -17,7 +23,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .rle import decode_mask, rle_area
+from .. import native
+from .rle import decode_mask
 
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 REC_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)
@@ -52,7 +59,7 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray
 
 def mask_iou(dt_masks: List[np.ndarray], gt_masks: List[np.ndarray],
              iscrowd: np.ndarray) -> np.ndarray:
-    """Packed-bit mask IoU; crowd gt -> inter/area_dt."""
+    """Dense packed-bit mask IoU (fallback path; crowd gt -> inter/area_dt)."""
     if not dt_masks or not gt_masks:
         return np.zeros((len(dt_masks), len(gt_masks)))
     dp = np.stack([np.packbits(m.reshape(-1)) for m in dt_masks])
@@ -97,52 +104,75 @@ class COCOEvaluator:
             self.dts[(r["image_id"], r["category_id"])].append(r)
 
     # ------------------------------------------------------------------
-    def _gt_mask(self, ann, h, w):
+    def _gt_rle(self, ann, h, w):
         seg = ann["segmentation"]
         if isinstance(seg, dict):
-            return decode_mask(seg).astype(np.uint8)
+            return seg
         from ..data.coco import rasterize_polygons
-        return rasterize_polygons(seg, h, w)
+        return native.encode_mask(rasterize_polygons(seg, h, w))
 
-    def _evaluate_img(self, img_id, cat_id, area_rng):
+    def _prepare_img(self, img_id, cat_id):
+        """Score-sort dts (maxDets cap), compute the IoU matrix once.
+
+        Returns None when the (image, category) cell is empty, else a dict
+        reused by every area range.
+        """
         gts = self.gts.get((img_id, cat_id), [])
         dts = self.dts.get((img_id, cat_id), [])
         if not gts and not dts:
             return None
-        gt_ig = np.asarray(
-            [g["ignore"] or g["area"] < area_rng[0] or g["area"] > area_rng[1]
-             for g in gts], bool)
-        order_g = np.argsort(gt_ig, kind="stable")
-        gts = [gts[i] for i in order_g]
-        gt_ig = gt_ig[order_g]
         scores = np.asarray([-d["score"] for d in dts])
         order_d = np.argsort(scores, kind="stable")[:MAX_DETS]
         dts = [dts[i] for i in order_d]
-
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
+
         if self.iou_type == "bbox":
             ious = bbox_iou_xywh(
-                np.asarray([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
-                np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
+                np.asarray([d["bbox"] for d in dts], np.float64
+                           ).reshape(-1, 4),
+                np.asarray([g["bbox"] for g in gts], np.float64
+                           ).reshape(-1, 4),
                 iscrowd)
             dt_area = np.asarray([d["bbox"][2] * d["bbox"][3] for d in dts])
         else:
             info = self.img_info[img_id]
             h, w = info["height"], info["width"]
-            dmask = [decode_mask(d["segmentation"]) for d in dts]
-            gmask = [self._gt_mask(g, h, w) for g in gts]
-            ious = mask_iou(dmask, gmask, iscrowd)
-            dt_area = np.asarray([m.sum() for m in dmask], np.float64)
+            drle = [d["segmentation"] for d in dts]
+            grle = [self._gt_rle(g, h, w) for g in gts]
+            ious = native.iou_matrix(drle, grle, iscrowd)
+            dt_area = np.asarray([native.rle_area(r) for r in drle],
+                                 np.float64)
+        gt_area = np.asarray([g["area"] for g in gts], np.float64)
+        gt_ignore0 = np.asarray([g["ignore"] for g in gts], bool)
+        return dict(
+            scores=np.asarray([d["score"] for d in dts]),
+            ious=ious, iscrowd=iscrowd, dt_area=dt_area, gt_area=gt_area,
+            gt_ignore0=gt_ignore0)
+
+    @staticmethod
+    def _evaluate_img(prep, area_rng):
+        """Greedy matching for one (image, category, area-range) cell using
+        the precomputed IoU matrix."""
+        if prep is None:
+            return None
+        gt_ig = (prep["gt_ignore0"] | (prep["gt_area"] < area_rng[0])
+                 | (prep["gt_area"] > area_rng[1]))
+        order_g = np.argsort(gt_ig, kind="stable")
+        gt_ig = gt_ig[order_g]
+        iscrowd = prep["iscrowd"][order_g]
+        ious = prep["ious"][:, order_g] if len(order_g) else prep["ious"]
+        n_dt = len(prep["scores"])
+        n_gt = len(gt_ig)
 
         t_n = len(IOU_THRS)
-        dtm = np.zeros((t_n, len(dts)), np.int64)
-        gtm = np.zeros((t_n, len(gts)), np.int64)
-        dt_ig = np.zeros((t_n, len(dts)), bool)
+        dtm = np.zeros((t_n, n_dt), np.int64)
+        gtm = np.zeros((t_n, n_gt), np.int64)
+        dt_ig = np.zeros((t_n, n_dt), bool)
         for ti, t in enumerate(IOU_THRS):
-            for di in range(len(dts)):
+            for di in range(n_dt):
                 best_iou = min(t, 1 - 1e-10)
                 m = -1
-                for gi in range(len(gts)):
+                for gi in range(n_gt):
                     if gtm[ti, gi] > 0 and not iscrowd[gi]:
                         continue
                     if m > -1 and not gt_ig[m] and gt_ig[gi]:
@@ -156,11 +186,11 @@ class COCOEvaluator:
                 dt_ig[ti, di] = gt_ig[m]
                 dtm[ti, di] = m + 1
                 gtm[ti, m] = di + 1
-        out_of_rng = (dt_area < area_rng[0]) | (dt_area > area_rng[1])
+        out_of_rng = ((prep["dt_area"] < area_rng[0])
+                      | (prep["dt_area"] > area_rng[1]))
         dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])
         return dict(
-            scores=np.asarray([d["score"] for d in dts]),
-            dtm=dtm, dt_ig=dt_ig,
+            scores=prep["scores"], dtm=dtm, dt_ig=dt_ig,
             n_gt=int((~gt_ig).sum()))
 
     def accumulate(self):
@@ -169,9 +199,9 @@ class COCOEvaluator:
         precision = -np.ones((t_n, r_n, k_n, len(a_names)))
         recall = -np.ones((t_n, k_n, len(a_names)))
         for ki, cat in enumerate(self.cat_ids):
+            preps = [self._prepare_img(i, cat) for i in self.img_ids]
             for ai, an in enumerate(a_names):
-                evs = [self._evaluate_img(i, cat, AREA_RNG[an])
-                       for i in self.img_ids]
+                evs = [self._evaluate_img(p, AREA_RNG[an]) for p in preps]
                 evs = [e for e in evs if e is not None]
                 if not evs:
                     continue

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 import numpy as np
 import cv2
 
-from .rle import encode_mask
+from ..native import encode_mask  # C++ codec, numpy fallback inside
 
 
 def postprocess_batch(dets: Dict[str, np.ndarray], image_ids, ori_shapes,

@@ -8,6 +8,11 @@ where either mask is None count via the other's area). Matching/AP protocol
 mirrors COCOeval (greedy per (video, category), IoU 0.5:0.05:0.95,
 101-point AP). Note: the official YT-VIS val server gt is withheld
 (reference README:157); this evaluator works on any labeled split.
+
+Track IoUs are computed ONCE per (video, category) in run-length space
+through the native C++ library (sipmask_tpu/native/maskops.cpp) — per-frame
+intersection matrices are accumulated without ever decoding dense masks —
+then reused across area ranges.
 """
 
 from __future__ import annotations
@@ -18,8 +23,21 @@ from typing import List, Optional
 
 import numpy as np
 
-from .rle import decode_mask
+from .. import native
+from .rle import decode_mask, encode_counts
 from .coco_eval import IOU_THRS, REC_THRS, MAX_DETS
+
+
+def _seg_to_rle(seg, h, w):
+    """Per-frame segmentation (RLE dict / polygon list / None) -> RLE dict;
+    None becomes the empty mask (a single zero-run), which contributes zero
+    intersection and zero area."""
+    if seg is None:
+        return {"size": [h, w], "counts": encode_counts([h * w])}
+    if isinstance(seg, dict):
+        return seg
+    from ..data.coco import rasterize_polygons
+    return native.encode_mask(rasterize_polygons(seg, h, w))
 
 
 def _seg_to_mask(seg, h, w):
@@ -31,29 +49,36 @@ def _seg_to_mask(seg, h, w):
     return rasterize_polygons(seg, h, w)
 
 
+def track_iou_matrix(dt_tracks, gt_tracks, h, w, iscrowd) -> np.ndarray:
+    """Spatio-temporal IoU between all (dt, gt) track pairs.
+
+    dt_tracks/gt_tracks: lists of per-frame segmentation lists (same length
+    T; entries RLE/polygons/None). Crowd gt -> inter / area_dt.
+    """
+    n_dt, n_gt = len(dt_tracks), len(gt_tracks)
+    if n_dt == 0 or n_gt == 0:
+        return np.zeros((n_dt, n_gt))
+    t = len(dt_tracks[0]) if dt_tracks else len(gt_tracks[0])
+    inter = np.zeros((n_dt, n_gt))
+    area_d = np.zeros(n_dt)
+    area_g = np.zeros(n_gt)
+    for f in range(t):
+        drles = [_seg_to_rle(tr[f] if f < len(tr) else None, h, w)
+                 for tr in dt_tracks]
+        grles = [_seg_to_rle(tr[f] if f < len(tr) else None, h, w)
+                 for tr in gt_tracks]
+        inter += native.inter_matrix(drles, grles)
+        area_d += [native.rle_area(r) for r in drles]
+        area_g += [native.rle_area(r) for r in grles]
+    union = np.where(np.asarray(iscrowd, bool)[None, :], area_d[:, None],
+                     area_d[:, None] + area_g[None, :] - inter)
+    return inter / np.maximum(union, 1e-9)
+
+
 def track_iou(dt_segs, gt_segs, h, w, iscrowd=False) -> float:
-    """Spatio-temporal IoU of two tracks (lists of per-frame masks/None)."""
-    inter = 0.0
-    union = 0.0
-    for d, g in zip(dt_segs, gt_segs):
-        dm = _seg_to_mask(d, h, w)
-        gm = _seg_to_mask(g, h, w)
-        if dm is None and gm is None:
-            continue
-        if dm is None:
-            union += int(gm.sum())
-            continue
-        if gm is None:
-            union += int(dm.sum())
-            continue
-        i = int(np.bitwise_and(dm, gm).sum())
-        inter += i
-        union += int(dm.sum()) + int(gm.sum()) - i
-    if iscrowd:
-        da = sum(int(_seg_to_mask(d, h, w).sum()) for d in dt_segs
-                 if d is not None)
-        return inter / max(da, 1e-9)
-    return inter / max(union, 1e-9)
+    """Single-pair spatio-temporal IoU (kept for tests/back-compat)."""
+    return float(track_iou_matrix([list(dt_segs)], [list(gt_segs)], h, w,
+                                  [iscrowd])[0, 0])
 
 
 class YTVOSEvaluator:
@@ -80,36 +105,46 @@ class YTVOSEvaluator:
         for r in results:
             self.dts[(r["video_id"], r["category_id"])].append(r)
 
-    def _evaluate_vid(self, vid, cat, area_rng):
+    def _prepare_vid(self, vid, cat):
+        """Score-sort dts, compute the track IoU matrix once per cell."""
         gts = self.gts.get((vid, cat), [])
         dts = self.dts.get((vid, cat), [])
         if not gts and not dts:
             return None
         v = self.videos[vid]
         h, w = v["height"], v["width"]
-        gt_ig = np.asarray([g["ignore"] or g["avg_area"] < area_rng[0] or
-                            g["avg_area"] > area_rng[1] for g in gts], bool)
-        order_g = np.argsort(gt_ig, kind="stable")
-        gts = [gts[i] for i in order_g]
-        gt_ig = gt_ig[order_g]
         dts = sorted(dts, key=lambda d: -d["score"])[:MAX_DETS]
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
+        ious = track_iou_matrix([d["segmentations"] for d in dts],
+                                [g["segmentations"] for g in gts],
+                                h, w, iscrowd)
+        return dict(
+            scores=np.asarray([d["score"] for d in dts]),
+            ious=ious, iscrowd=iscrowd,
+            gt_ignore0=np.asarray([g["ignore"] for g in gts], bool),
+            gt_area=np.asarray([g["avg_area"] for g in gts], np.float64))
 
-        ious = np.zeros((len(dts), len(gts)))
-        for di, d in enumerate(dts):
-            for gi, g in enumerate(gts):
-                ious[di, gi] = track_iou(d["segmentations"],
-                                         g["segmentations"], h, w,
-                                         iscrowd=bool(iscrowd[gi]))
+    @staticmethod
+    def _evaluate_vid(prep, area_rng):
+        if prep is None:
+            return None
+        gt_ig = (prep["gt_ignore0"] | (prep["gt_area"] < area_rng[0])
+                 | (prep["gt_area"] > area_rng[1]))
+        order_g = np.argsort(gt_ig, kind="stable")
+        gt_ig = gt_ig[order_g]
+        iscrowd = prep["iscrowd"][order_g]
+        ious = prep["ious"][:, order_g] if len(order_g) else prep["ious"]
+        n_dt, n_gt = len(prep["scores"]), len(gt_ig)
+
         t_n = len(IOU_THRS)
-        dtm = np.zeros((t_n, len(dts)), np.int64)
-        gtm = np.zeros((t_n, len(gts)), np.int64)
-        dt_ig = np.zeros((t_n, len(dts)), bool)
+        dtm = np.zeros((t_n, n_dt), np.int64)
+        gtm = np.zeros((t_n, n_gt), np.int64)
+        dt_ig = np.zeros((t_n, n_dt), bool)
         for ti, t in enumerate(IOU_THRS):
-            for di in range(len(dts)):
+            for di in range(n_dt):
                 best = min(t, 1 - 1e-10)
                 m = -1
-                for gi in range(len(gts)):
+                for gi in range(n_gt):
                     if gtm[ti, gi] > 0 and not iscrowd[gi]:
                         continue
                     if m > -1 and not gt_ig[m] and gt_ig[gi]:
@@ -123,16 +158,18 @@ class YTVOSEvaluator:
                 dt_ig[ti, di] = gt_ig[m]
                 dtm[ti, di] = m + 1
                 gtm[ti, m] = di + 1
-        return dict(scores=np.asarray([d["score"] for d in dts]),
-                    dtm=dtm, dt_ig=dt_ig, n_gt=int((~gt_ig).sum()))
+        return dict(scores=prep["scores"], dtm=dtm, dt_ig=dt_ig,
+                    n_gt=int((~gt_ig).sum()))
 
     def summarize(self, verbose: bool = True):
         t_n, r_n = len(IOU_THRS), len(REC_THRS)
         aps = {}
+        prep_by_cat = {cat: [self._prepare_vid(v, cat) for v in self.videos]
+                       for cat in self.cat_ids}
         for an, rng_ in self.AREA_RNG.items():
             precision = -np.ones((t_n, r_n, len(self.cat_ids)))
             for ki, cat in enumerate(self.cat_ids):
-                evs = [self._evaluate_vid(v, cat, rng_) for v in self.videos]
+                evs = [self._evaluate_vid(p, rng_) for p in prep_by_cat[cat]]
                 evs = [e for e in evs if e is not None]
                 if not evs:
                     continue

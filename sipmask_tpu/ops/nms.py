@@ -62,6 +62,48 @@ def hard_nms(boxes, scores, iou_thr: float, max_out: int, class_ids=None):
     return keep_idx, keep_scores, keep_scores > NEG / 2
 
 
+def soft_nms(boxes, scores, iou_thr: float = 0.3, max_out: int = 100,
+             method: str = "linear", sigma: float = 0.5,
+             min_score: float = 1e-3, class_ids=None):
+    """Soft-NMS (reference mmdet/ops/nms/src/soft_nms_cpu.cpp; config
+    ``nms=dict(type='soft_nms')``), static-shape for jit.
+
+    Greedy argmax selection for ``max_out`` iterations; instead of removing
+    overlapping boxes, their scores decay by 1 - IoU ('linear') or
+    exp(-IoU^2/sigma) ('gaussian'); boxes decayed below ``min_score`` are
+    dropped. Same return contract as :func:`hard_nms`.
+    """
+    n = boxes.shape[0]
+    ious = bbox_overlaps(boxes, boxes)
+    if class_ids is not None:
+        same = class_ids[:, None] == class_ids[None, :]
+        ious = jnp.where(same, ious, 0.0)
+
+    def body(i, state):
+        live, keep_idx, keep_scores = state
+        j = jnp.argmax(live)
+        s = live[j]
+        picked = s > min_score
+        keep_idx = keep_idx.at[i].set(jnp.where(picked, j, -1))
+        keep_scores = keep_scores.at[i].set(jnp.where(picked, s, NEG))
+        ov = ious[j]
+        if method == "gaussian":
+            decay = jnp.exp(-(ov * ov) / sigma)
+        else:  # linear
+            decay = jnp.where(ov > iou_thr, 1.0 - ov, 1.0)
+        live = jnp.where(picked, live * decay, live)
+        live = jnp.where(live < min_score, NEG, live)
+        live = live.at[j].set(NEG)  # the pick never reappears
+        return live, keep_idx, keep_scores
+
+    keep_idx = jnp.full((max_out,), -1, jnp.int32)
+    keep_scores = jnp.full((max_out,), NEG, scores.dtype)
+    live0 = jnp.where(scores > min_score, scores, NEG)
+    _, keep_idx, keep_scores = jax.lax.fori_loop(
+        0, max_out, body, (live0, keep_idx, keep_scores))
+    return keep_idx, keep_scores, keep_scores > NEG / 2
+
+
 def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
                        max_per_img: int, score_factors=None,
                        pre_nms_top_n: int = 1000):

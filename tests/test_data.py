@@ -150,3 +150,35 @@ class TestLoader:
                                                 batch_size=2, num_workers=2):
             seen.update(batch["image_ids"][:n_valid].tolist())
         assert seen == {1, 2, 3}
+
+
+class TestCorruptions:
+    def test_all_corruptions_run_and_preserve_shape(self):
+        from sipmask_tpu.data.corruptions import (CORRUPTIONS,
+                                                  EXTRA_CORRUPTIONS, corrupt)
+        rng = np.random.RandomState(0)
+        img = (rng.rand(64, 80, 3) * 255).astype(np.uint8)
+        for name in list(CORRUPTIONS) + list(EXTRA_CORRUPTIONS):
+            out = corrupt(img, name, 3)
+            assert out.shape == img.shape and out.dtype == np.uint8, name
+            assert not np.array_equal(out, img), f"{name} was a no-op"
+
+    def test_severity_monotone_distortion(self):
+        # higher severity should distort more (L1 from clean), at least
+        # for the deterministic digital corruptions
+        from sipmask_tpu.data.corruptions import corrupt
+        rng = np.random.RandomState(1)
+        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        for name in ("contrast", "pixelate", "defocus_blur"):
+            d1 = np.abs(corrupt(img, name, 1).astype(int) - img).mean()
+            d5 = np.abs(corrupt(img, name, 5).astype(int) - img).mean()
+            assert d5 > d1, (name, d1, d5)
+
+    def test_unknown_corruption_raises(self):
+        from sipmask_tpu.data.corruptions import corrupt
+        img = np.zeros((8, 8, 3), np.uint8)
+        try:
+            corrupt(img, "not_a_corruption", 3)
+            assert False
+        except KeyError as e:
+            assert "not_a_corruption" in str(e)

@@ -294,3 +294,31 @@ class TestDeformConv:
         half_out = deform_conv2d(x, offs, wgt, mask=half)
         np.testing.assert_allclose(np.asarray(half_out),
                                    np.asarray(full_out) * 0.5, atol=1e-5)
+
+
+class TestSoftNMS:
+    def test_decays_overlapping_keeps_distant(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.nms import soft_nms
+        boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
+                             [50, 50, 60, 60]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+        keep, ks, valid = soft_nms(boxes, scores, iou_thr=0.3, max_out=3)
+        keep = np.asarray(keep)
+        ks = np.asarray(ks)
+        # highest first, distant box kept at full score, overlap decayed
+        assert keep[0] == 0 and abs(ks[0] - 0.9) < 1e-6
+        assert 2 in keep[:2]
+        i1 = list(keep).index(1)
+        assert ks[i1] < 0.8  # decayed by IoU with box 0
+
+    def test_gaussian_method_and_min_score(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.nms import soft_nms
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+        scores = jnp.asarray([0.9, 0.85], jnp.float32)
+        keep, ks, valid = soft_nms(boxes, scores, iou_thr=0.3, max_out=2,
+                                   method="gaussian", sigma=0.5,
+                                   min_score=0.5)
+        # identical boxes: second decays by exp(-1/0.5) ~ 0.135 -> below 0.5
+        assert np.asarray(valid).sum() == 1
