@@ -17,6 +17,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from sipmask_tpu.config import get_config, _r
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.models import build_model
     from sipmask_tpu.models.decode import decode_batch
 

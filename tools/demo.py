@@ -21,6 +21,9 @@ def main():
     import cv2
     from sipmask_tpu.apis.inference import (init_detector, inference_detector,
                                             show_result)
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.data.coco import COCO_CLASSES
 
     img = cv2.imread(args.image)

@@ -28,6 +28,9 @@ def main():
     import jax.numpy as jnp
     from jax import export as jax_export
     from sipmask_tpu.config import get_config
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.apis.inference import init_detector
     from sipmask_tpu.models.decode import decode_batch
 

@@ -19,6 +19,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
     from sipmask_tpu.config import get_config
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.models import build_model
 
     cfg = get_config(args.config)

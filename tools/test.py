@@ -22,6 +22,9 @@ def main():
     args = ap.parse_args()
 
     from sipmask_tpu.config import get_config
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.apis.inference import init_detector
     from sipmask_tpu.apis.test import run_inference, evaluate_coco
     from sipmask_tpu.data import CocoDataset

@@ -28,6 +28,9 @@ def main():
     args = ap.parse_args()
 
     from sipmask_tpu.config import get_config, _r
+    from sipmask_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from sipmask_tpu.apis import train_detector
 
     cfg = get_config(args.config)
