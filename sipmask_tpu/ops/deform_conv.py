@@ -1,23 +1,28 @@
 """Deformable convolution v1/v2 for TPU.
 
 Replaces the reference's im2col CUDA kernels
-(mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu, ~2000 LoC) with an XLA
-formulation: per kernel tap, bilinearly gather the shifted feature map, then
-contract with that tap's weight slice on the MXU. Peak memory is one
-(B, H, W, C) buffer per tap instead of the full im2col matrix; JAX autodiff
-through the gather yields the scatter-add backward (offset gradients
-included) that the CUDA version hand-writes.
+(mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu, ~2000 LoC). Semantics
+replicated from the CUDA kernel:
 
-Semantics replicated from the CUDA kernel:
 - offset channel layout per deformable group g and kernel tap (i, j):
   [dy, dx] interleaved, group-major — channel = g*2*K + 2*(i*kw + j) + {0,1}
   (deform_conv_cuda_kernel.cu ``data_offset_h/w_ptr``).
 - sampling position: p = (h*stride - pad + i*dilation + dy,
                           w*stride - pad + j*dilation + dx).
-- bilinear interpolation with zero outside the feature map (taps whose 4
-  neighbours are all out of bounds contribute 0).
-- input channels are split into G deformable groups; group g uses offset g.
+- bilinear interpolation with zero outside the feature map (corners outside
+  [0, H-1] x [0, W-1] contribute 0).
+- input channels split into G deformable groups; group g uses offset set g.
 - v2 (modulated) multiplies each tap's sampled value by a per-tap mask.
+
+TPU design: sampling positions are decomposed on the host-XLA side into 4
+integer corner indices + bilinear weights per (tap, pixel); the gather runs
+as a banded one-hot matmul Pallas kernel on the MXU
+(ops/pallas/deform_gather.py — XLA's native gather is ~8x slower than the
+rest of the SipMask forward combined), and all K taps are contracted in ONE
+(B*P, K*C) @ (K*C, O) matmul. Gradients (including offset gradients through
+the bilinear weights) flow via a custom VJP over the XLA reference
+formulation — the scatter-add backward the CUDA version hand-writes falls
+out of autodiff.
 
 Used by FeatureAlign (sipmask_head.py:21-55, deformable_groups=4) and the
 SipMask++ DCN backbone stages (configs/sipmask/sipmask++_*.py:13-14).
@@ -28,35 +33,34 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .pallas.deform_gather import sample_bilinear_rows
 
-def _bilinear_gather(x, py, px):
-    """Bilinear sample x (B, H, W, G, Cg) at (py, px) (B, Ho, Wo, G).
 
-    Zero padding outside [0, H-1] x [0, W-1], matching the CUDA
-    ``deformable_im2col_bilinear`` (values gathered only from in-bounds
-    integer neighbours).
+def _sample_positions(offsets, kh, kw, stride, padding, dilation,
+                      deform_groups):
+    """Offsets -> absolute sampling positions per tap.
+
+    offsets: (B, Ho, Wo, G*K*2) in the CUDA layout.
+    Returns pyx (B*G, K, P, 2) f32, P = Ho*Wo.
     """
-    b, h, w, g, cg = x.shape
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    wy1 = py - y0  # weight for y0+1
-    wx1 = px - x0
-    out = 0.0
-    xf = x.reshape(b, h * w, g, cg)
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        yy = y0 + dy
-        xx = x0 + dx
-        wgt = ((wy1 if dy else (1.0 - wy1)) * (wx1 if dx else (1.0 - wx1)))
-        inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
-        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        flat = yi * w + xi  # (B, Ho, Wo, G)
-        bo, ho, wo, _ = flat.shape
-        gathered = jnp.take_along_axis(
-            xf, flat.reshape(b, ho * wo, g, 1).astype(jnp.int32),
-            axis=1).reshape(b, ho, wo, g, cg)
-        out = out + gathered * (wgt * inb.astype(x.dtype))[..., None]
-    return out  # (B, Ho, Wo, G, Cg)
+    b, ho, wo, _ = offsets.shape
+    g, k = deform_groups, kh * kw
+    off = offsets.astype(jnp.float32).reshape(b, ho, wo, g, k, 2)
+    off = off.transpose(0, 3, 4, 1, 2, 5)  # (B, G, K, Ho, Wo, 2)
+
+    base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)
+    base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)
+    tap_dy = (jnp.arange(kh, dtype=jnp.float32) * dilation)[:, None]
+    tap_dx = (jnp.arange(kw, dtype=jnp.float32) * dilation)[None, :]
+    tap_dy = jnp.broadcast_to(tap_dy, (kh, kw)).reshape(k)
+    tap_dx = jnp.broadcast_to(tap_dx, (kh, kw)).reshape(k)
+
+    py = (base_y[None, None, None, :, None] +
+          tap_dy[None, None, :, None, None] + off[..., 0])  # (B,G,K,Ho,Wo)
+    px = (base_x[None, None, None, None, :] +
+          tap_dx[None, None, :, None, None] + off[..., 1])
+    pyx = jnp.stack([py, px], -1)
+    return pyx.reshape(b * g, k, ho * wo, 2)
 
 
 def deform_conv2d(x, offsets, weight, *, stride: int = 1, padding: int = 1,
@@ -79,31 +83,33 @@ def deform_conv2d(x, offsets, weight, *, stride: int = 1, padding: int = 1,
     assert wc == c, (wc, c)
     g = deform_groups
     assert c % g == 0
+    cg = c // g
     k = kh * kw
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
-    assert offsets.shape == (b, ho, wo, g * k * 2), (offsets.shape, (b, ho, wo, g * k * 2))
+    p = ho * wo
+    assert offsets.shape == (b, ho, wo, g * k * 2), \
+        (offsets.shape, (b, ho, wo, g * k * 2))
 
-    off = offsets.reshape(b, ho, wo, g, k, 2)
-    xg = x.reshape(b, h, w, g, c // g)
-    base_y = (jnp.arange(ho, dtype=x.dtype) * stride - padding)[None, :, None, None]
-    base_x = (jnp.arange(wo, dtype=x.dtype) * stride - padding)[None, None, :, None]
+    pyx = _sample_positions(offsets, kh, kw, stride, padding, dilation, g)
 
-    out = jnp.zeros((b, ho, wo, o), jnp.promote_types(x.dtype, jnp.float32))
-    for i in range(kh):
-        for j in range(kw):
-            t = i * kw + j
-            py = base_y + i * dilation + off[..., t, 0]  # (B, Ho, Wo, G)
-            px = base_x + j * dilation + off[..., t, 1]
-            sampled = _bilinear_gather(xg, py, px)  # (B, Ho, Wo, G, Cg)
-            if mask is not None:
-                m = mask.reshape(b, ho, wo, g, k)[..., t]
-                sampled = sampled * m[..., None]
-            sampled = sampled.reshape(b, ho, wo, c)
-            out = out + jax.lax.dot_general(
-                sampled, weight[i, j],
-                dimension_numbers=(((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    # (B, H, W, G, Cg) -> (B*G, H*W, Cg) row-major feature rows
+    x_rows = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)
+    x_rows = x_rows.reshape(b * g, h * w, cg)
+
+    sampled = sample_bilinear_rows(x_rows, pyx, h, w)  # (B*G, K, P, Cg)
+    sampled = sampled.reshape(b, g, k, p, cg)
+
+    if mask is not None:
+        m = mask.reshape(b, p, g, k).transpose(0, 2, 3, 1)  # (B,G,K,P)
+        sampled = sampled * m[..., None].astype(sampled.dtype)
+
+    # single fused tap contraction: (B*P, K*C) @ (K*C, O)
+    sampled = sampled.transpose(0, 3, 2, 1, 4).reshape(b * p, k * c)
+    wmat = weight.reshape(k, c, o).reshape(k * c, o)
+    out = jnp.dot(sampled, wmat.astype(sampled.dtype),
+                  preferred_element_type=jnp.float32)
+    out = out.reshape(b, ho, wo, o)
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)

@@ -1,0 +1,204 @@
+"""Pallas TPU kernel for the deformable-conv bilinear gather.
+
+XLA's TPU gather lowering is latency-bound: the per-tap bilinear sampling of
+deformable convolution (reference CUDA ``deformable_im2col``,
+mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu) costs ~57ms for one P3-sized
+level via ``take_along_axis`` — 8x the rest of the SipMask forward pass
+combined. This kernel reformulates the gather as a **banded one-hot matmul
+on the MXU**:
+
+    sampled[p, :] = sum_q S[p, q] * X[q, :]
+
+where the selection matrix is built arithmetically from the *tent identity*
+of bilinear interpolation: for a sampling position (py, px) and an integer
+grid point (qy, qx),
+
+    S[p, q] = relu(1 - |qy - py|) * relu(1 - |qx - px|)
+
+which is exactly the bilinear corner weight (and exactly 0 for every grid
+point that is not one of the 4 corners, including all out-of-bounds
+corners). This needs only the raw sampling positions — no corner indices or
+precomputed weights — so the kernel streams 2 floats per (tap, pixel)
+instead of 8.
+
+The Q contraction is tiled with a data-dependent skip: a tile's
+(tent-build + matmul) only runs when some pixel in the P-block samples from
+it (bit-mask per (n, tap, p-block), scalar-prefetched). For typical
+deformable offsets each P-block touches 2-4 of ~10 tiles, so the dense
+one-hot cost collapses to a band around the diagonal while remaining EXACT
+for arbitrarily large offsets.
+
+Gradients route through the XLA reference formulation via
+``jax.custom_vjp`` (offset gradients flow through the tent weights; the
+hand-written CUDA scatter-add backward falls out of autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+P_BLK = 512
+Q_BLK = 512
+
+
+def pallas_available() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def sample_ref(x_rows, pyx, h, w):
+    """XLA reference: bilinear sample of flattened rows at positions pyx.
+
+    x_rows: (N, Q=h*w, Cg); pyx: (N, K, P, 2) float (py, px).
+    Out-of-bounds corners contribute 0 (CUDA ``deformable_im2col_bilinear``
+    semantics). Differentiable in x_rows and pyx; used for the CPU fallback,
+    parity tests, and the Pallas backward pass.
+    """
+    py, px = pyx[..., 0], pyx[..., 1]
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0 + dy
+            xx = x0 + dx
+            wgt = ((py - y0 if dy else 1.0 - (py - y0)) *
+                   (px - x0 if dx else 1.0 - (px - x0)))
+            inb = ((yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1))
+            qi = (jnp.clip(yy, 0, h - 1) * w +
+                  jnp.clip(xx, 0, w - 1)).astype(jnp.int32)
+
+            def per_n(xr, qi_n):
+                return jnp.take(xr, qi_n.reshape(-1), axis=0).reshape(
+                    qi_n.shape + (xr.shape[-1],))
+
+            g = jax.vmap(per_n)(x_rows, qi)
+            out = out + g * (wgt * inb).astype(x_rows.dtype)[..., None]
+    return out
+
+
+def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
+            qt_n, k_n, pb_n, w):
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    inv_w = 1.0 / w
+    for t in range(k_n):
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        py = pyx_ref[0, t, :, 0:1]          # (P_BLK, 1) f32
+        px = pyx_ref[0, t, :, 1:2]
+        bits = bits_ref[(bn * pb_n + bp) * k_n + t]
+        for qt in range(qt_n):
+            @pl.when((bits >> qt) & 1 > 0)
+            def _(qt=qt):
+                q0 = qt * Q_BLK
+                j = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, Q_BLK), 1).astype(jnp.float32) + float(q0)
+                qy = jnp.floor(j * inv_w)
+                qx = j - qy * w
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(qy - py))  # (P_BLK, QB)
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(qx - px))
+                s = (ty * tx).astype(x_ref.dtype)
+                acc_ref[...] += jnp.dot(
+                    s, x_ref[0, q0:q0 + Q_BLK, :],
+                    preferred_element_type=jnp.float32)
+        out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _sample_pallas(x_rows, pyx, h, w, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    assert q == h * w, (q, h, w)
+    qpad = -(-q // Q_BLK) * Q_BLK
+    ppad = -(-p // P_BLK) * P_BLK
+    pb, qt_n = ppad // P_BLK, qpad // Q_BLK
+    assert qt_n <= 31, "bit-packed tile mask supports at most 31 Q tiles"
+
+    xp = _pad_to(x_rows, qpad, 1)
+    # pad positions with -2 -> every tent weight is 0 -> padded rows output 0
+    pyxp = _pad_to(pyx, ppad, 2)
+    if ppad != p:
+        mask = (jnp.arange(ppad) < p)[None, None, :, None]
+        pyxp = jnp.where(mask, pyxp, -2.0)
+
+    # bit mask of q-tiles touched, per (n, tap, p-block): from the 4
+    # clipped corner positions of each pixel
+    py, px = pyxp[..., 0], pyxp[..., 1]
+    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    qs = jnp.stack([y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1],
+                   -1).astype(jnp.int32)          # (N, K, Ppad, 4)
+    tq = (qs // Q_BLK).reshape(n, k, pb, P_BLK * 4)
+    hits = jax.vmap(
+        lambda t: (t[..., None] == jnp.arange(qt_n)).any(-2),
+        in_axes=2, out_axes=2)(tq)                # (N, K, PB, QT)
+    bits = (hits.astype(jnp.int32) << jnp.arange(qt_n)).sum(-1)
+    bits = bits.transpose(0, 2, 1).reshape(-1)    # (N*PB*K,) scalar-prefetch
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, k, P_BLK, 2), lambda bn, bp, *_: (bn, 0, bp, 0)),
+            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, P_BLK, cg),
+                               lambda bn, bp, *_: (bn, 0, bp, 0)),
+        scratch_shapes=[pltpu.VMEM((P_BLK, cg), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bits, pyxp.astype(jnp.float32), xp)
+    return out[:, :, :p, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sample_bilinear_rows(x_rows, pyx, h, w):
+    """Deformable bilinear row sampling, Pallas on TPU / XLA elsewhere.
+
+    Args:
+      x_rows: (N, h*w, Cg) flattened feature rows (N = batch*groups).
+      pyx: (N, K, P, 2) f32 sampling positions (py, px) per tap and pixel.
+    Returns:
+      (N, K, P, Cg) sampled values. Differentiable in x_rows and pyx.
+    """
+    if pallas_available():
+        return _sample_pallas(x_rows, pyx, h, w)
+    return sample_ref(x_rows, pyx, h, w)
+
+
+def _fwd(x_rows, pyx, h, w):
+    return sample_bilinear_rows(x_rows, pyx, h, w), (x_rows, pyx)
+
+
+def _bwd(h, w, res, g):
+    x_rows, pyx = res
+    _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x_rows, pyx)
+    return vjp(g)
+
+
+sample_bilinear_rows.defvjp(_fwd, _bwd)

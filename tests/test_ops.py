@@ -322,3 +322,38 @@ class TestSoftNMS:
                                    min_score=0.5)
         # identical boxes: second decays by exp(-1/0.5) ~ 0.135 -> below 0.5
         assert np.asarray(valid).sum() == 1
+
+
+class TestPallasDeformGather:
+    def test_interpret_matches_reference(self):
+        """Pallas tent-matmul kernel (interpret mode on CPU) == XLA ref."""
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas.deform_gather import (
+            _sample_pallas, sample_ref)
+        rng = np.random.RandomState(0)
+        n, h, w, cg, k, p = 2, 10, 10, 8, 3, 70
+        x = jnp.asarray(rng.randn(n, h * w, cg).astype(np.float32))
+        # positions spanning in-bounds, borders and out-of-bounds
+        pyx = jnp.asarray(
+            rng.rand(n, k, p, 2).astype(np.float32) * 14 - 2)
+        want = sample_ref(x, pyx, h, w)
+        got = _sample_pallas(x, pyx, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_custom_vjp_offset_gradients_flow(self):
+        """Offset grads flow via qw through the custom VJP (CPU path)."""
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.deform_conv import deform_conv2d
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 8, 8, 8).astype(np.float32))
+        off = jnp.asarray(rng.randn(1, 8, 8, 18).astype(np.float32) * 0.3)
+        wt = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+
+        def loss(off):
+            return jnp.sum(deform_conv2d(x, off, wt) ** 2)
+        g = jax.grad(loss)(off)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
