@@ -72,6 +72,44 @@ def crop_split(stack, boxes):
     return (stack * q).sum(0)
 
 
+def _quadrant_bounds(boxes, h, w):
+    """Shared per-pixel comparisons: (in_box, right, bottom), each (h, w, N).
+
+    These are pure broadcasted comparisons, so XLA fuses them into whatever
+    elementwise consumer follows — the (4, h, w, N) plane stack of the CUDA
+    kernel is never materialized.
+    """
+    pw = jnp.arange(w, dtype=boxes.dtype)[None, :, None]
+    ph = jnp.arange(h, dtype=boxes.dtype)[:, None, None]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    in_box = ((pw >= x1) & (pw < x2) & (ph >= y1) & (ph < y2))
+    right = pw >= (x1 + (x2 - x1 + 0.1) / 2)
+    bottom = ph >= (y1 + (y2 - y1 + 0.1) / 2)
+    return in_box, right, bottom
+
+
+def _quadrant_logits(basis, cofs):
+    """One matmul for all 4 quadrants: (h, w, 4, N) logits."""
+    h, w, nb = basis.shape
+    n = cofs.shape[0]
+    flat = basis.reshape(h * w, nb)
+    # (N, 4*nb) [q00|q01|q10|q11] -> (nb, 4*N)
+    w4 = cofs.reshape(n, 4, nb).transpose(2, 1, 0).reshape(nb, 4 * n)
+    logits = jnp.dot(flat, w4.astype(flat.dtype),
+                     preferred_element_type=jnp.float32)
+    return logits.reshape(h, w, 4, n)
+
+
+def _select_quadrant(logits4, in_box, right, bottom):
+    """Pick each pixel's quadrant logit; exactly one applies inside the box."""
+    l = logits4
+    sel = jnp.where(~right & ~bottom, l[:, :, 0], 0.0)
+    sel = sel + jnp.where(right & ~bottom, l[:, :, 1], 0.0)
+    sel = sel + jnp.where(~right & bottom, l[:, :, 2], 0.0)
+    sel = sel + jnp.where(right & bottom, l[:, :, 3], 0.0)
+    return sel, in_box
+
+
 def assemble_masks(basis, cofs, boxes):
     """SP mask assembly for inference (sipmask_head.py:614-633).
 
@@ -82,16 +120,11 @@ def assemble_masks(basis, cofs, boxes):
     Returns:
       masks: (h, w, N) assembled sigmoid probabilities, 0 outside boxes.
     """
-    h, w, nb = basis.shape
-    n = cofs.shape[0]
-    flat = basis.reshape(h * w, nb)
-    q = quadrant_masks(boxes, h, w, basis.dtype)  # (4, h, w, N)
-    out = jnp.zeros((h, w, n), basis.dtype)
-    for qi in range(4):
-        logits = jnp.dot(flat, cofs[:, qi * nb:(qi + 1) * nb].T,
-                         preferred_element_type=jnp.float32)
-        out = out + q[qi] * jax.nn.sigmoid(logits.reshape(h, w, n))
-    return out
+    h, w, _ = basis.shape
+    logits4 = _quadrant_logits(basis, cofs)
+    in_box, right, bottom = _quadrant_bounds(boxes.astype(jnp.float32), h, w)
+    sel, in_box = _select_quadrant(logits4, in_box, right, bottom)
+    return jax.nn.sigmoid(sel) * in_box.astype(sel.dtype)
 
 
 def mask_bce_loss(basis, cofs, boxes, gt_masks):
@@ -108,16 +141,12 @@ def mask_bce_loss(basis, cofs, boxes, gt_masks):
     Returns:
       pixel-summed BCE per detection: (K,).
     """
-    h, w, nb = basis.shape
-    k = cofs.shape[0]
-    flat = basis.reshape(h * w, nb)
-    q = quadrant_masks(boxes, h, w, basis.dtype)  # (4, h, w, K)
-    total = jnp.zeros((k,), basis.dtype)
-    for qi in range(4):
-        logits = jnp.dot(flat, cofs[:, qi * nb:(qi + 1) * nb].T,
-                         preferred_element_type=jnp.float32).reshape(h, w, k)
-        # stable BCE-with-logits, applied only inside the pixel's quadrant
-        bce = (jnp.clip(logits, 0) - logits * gt_masks +
-               jnp.log1p(jnp.exp(-jnp.abs(logits))))
-        total = total + (bce * q[qi]).sum((0, 1))
-    return total
+    h, w, _ = basis.shape
+    logits4 = _quadrant_logits(basis, cofs)
+    in_box, right, bottom = _quadrant_bounds(boxes.astype(jnp.float32), h, w)
+    sel, in_box = _select_quadrant(logits4, in_box, right, bottom)
+    # stable BCE-with-logits on the selected quadrant's logit; pixels
+    # outside the box (where each quadrant mask is 0) contribute exactly 0
+    bce = (jnp.clip(sel, 0) - sel * gt_masks +
+           jnp.log1p(jnp.exp(-jnp.abs(sel))))
+    return (bce * in_box.astype(bce.dtype)).sum((0, 1))

@@ -1,0 +1,159 @@
+"""RoI feature extraction ops (XLA-native, static shapes).
+
+TPU equivalents of the reference's CUDA RoIAlign / RoIPool
+(mmdet/ops/roi_align/src/roi_align_kernel.cu, roi_pool/src/*) and the
+DeformRoIPooling family (mmdet/ops/dcn/src/deform_pool_cuda*). Not used by
+the SipMask path itself (two-stage heads only) but part of the reference's
+op surface. All ops take NHWC features and a fixed-size ROI batch; autodiff
+provides the backward (the CUDA versions hand-write atomicAdd scatters).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear(feat, py, px):
+    """feat (H, W, C); py/px (...,): bilinear sample with zero outside."""
+    h, w, _ = feat.shape
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0 + dy
+            xx = x0 + dx
+            wgt = ((py - y0 if dy else 1.0 - (py - y0)) *
+                   (px - x0 if dx else 1.0 - (px - x0)))
+            inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+            yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+            xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+            out = out + feat[yi, xi] * (wgt * inb)[..., None]
+    return out
+
+
+def roi_align(feats, rois, out_size: int, spatial_scale: float,
+              sample_num: int = 2, aligned: bool = False):
+    """RoIAlign (roi_align_kernel.cu semantics, sample_num grid per bin).
+
+    Args:
+      feats: (B, H, W, C).
+      rois: (R, 5) [batch_idx, x1, y1, x2, y2] in input coords.
+      aligned: mmdet v1 uses aligned=False (no -0.5 shift).
+    Returns:
+      (R, out_size, out_size, C).
+    """
+    off = 0.5 if aligned else 0.0
+    x1 = rois[:, 1] * spatial_scale - off
+    y1 = rois[:, 2] * spatial_scale - off
+    x2 = rois[:, 3] * spatial_scale - off
+    y2 = rois[:, 4] * spatial_scale - off
+    if not aligned:  # legacy: clamp roi size >= 1
+        rw = jnp.maximum(x2 - x1, 1.0)
+        rh = jnp.maximum(y2 - y1, 1.0)
+    else:
+        rw, rh = x2 - x1, y2 - y1
+    bin_w = rw / out_size
+    bin_h = rh / out_size
+    s = sample_num
+    # sample grid: s x s points per bin at (i + (j+0.5)/s) * bin
+    grid = (jnp.arange(out_size)[:, None] +
+            (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)  # (out*s,)
+
+    def per_roi(bidx, ys, xs):
+        feat = feats[bidx]
+        pts = _bilinear(feat, ys[:, None], xs[None, :])  # (oy*s, ox*s, C)
+        c = pts.shape[-1]
+        pts = pts.reshape(out_size, s, out_size, s, c)
+        return pts.mean((1, 3))
+
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # (R, out*s)
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+    bidx = rois[:, 0].astype(jnp.int32)
+    return jax.vmap(per_roi)(bidx, ys, xs)
+
+
+def roi_pool(feats, rois, out_size: int, spatial_scale: float):
+    """RoIPool: max over each quantized bin (roi_pool_kernel.cu).
+
+    Implemented as dense max over the bin membership mask (static shapes).
+    """
+    b, h, w, c = feats.shape
+    x1 = jnp.round(rois[:, 1] * spatial_scale)
+    y1 = jnp.round(rois[:, 2] * spatial_scale)
+    x2 = jnp.round(rois[:, 3] * spatial_scale)
+    y2 = jnp.round(rois[:, 4] * spatial_scale)
+    rw = jnp.maximum(x2 - x1 + 1, 1.0)
+    rh = jnp.maximum(y2 - y1 + 1, 1.0)
+
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+
+    def per_roi(bidx, px1, py1, bw, bh):
+        feat = feats[bidx]  # (H, W, C)
+        # bin index of each pixel, -1 if outside the roi
+        by = jnp.floor((ys - py1) / bh * out_size)
+        bx = jnp.floor((xs - px1) / bw * out_size)
+        by = jnp.where((ys >= py1) & (by < out_size) & (by >= 0), by, -1)
+        bx = jnp.where((xs >= px1) & (bx < out_size) & (bx >= 0), bx, -1)
+        onehot_y = (by[None, :] == jnp.arange(out_size)[:, None])  # (o, H)
+        onehot_x = (bx[None, :] == jnp.arange(out_size)[:, None])  # (o, W)
+        neg = jnp.finfo(jnp.float32).min / 4
+        fy = jnp.where(onehot_y[:, :, None, None], feat[None], neg)
+        my = fy.max(1)  # (oy, W, C)
+        fx = jnp.where(onehot_x[:, None, :, None], my[None], neg)
+        out = fx.max(2).transpose(1, 0, 2)  # (oy, ox, C)
+        return jnp.where(out > neg / 2, out, 0.0)  # empty bin -> 0
+
+    return jax.vmap(per_roi)(rois[:, 0].astype(jnp.int32), x1, y1, rw, rh)
+
+
+def grid_sample(feats, grid, align_corners: bool = True):
+    """F.grid_sample equivalent (the reference vendors grid_sampler CUDA,
+    mmdet/ops/grid_sampler): bilinear, zero padding.
+
+    feats: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords in [-1, 1]
+    ordered (x, y) like torch.
+    """
+    b, h, w, _ = feats.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        px = (gx + 1) * 0.5 * (w - 1)
+        py = (gy + 1) * 0.5 * (h - 1)
+    else:
+        px = ((gx + 1) * w - 1) * 0.5
+        py = ((gy + 1) * h - 1) * 0.5
+    return jax.vmap(_bilinear)(feats, py, px)
+
+
+def masked_conv2d(x, mask, weight, bias=None, padding: int = 1):
+    """MaskedConv2d (mmdet/ops/masked_conv): conv evaluated only where
+    mask > 0, zero elsewhere. On TPU the dense conv is cheaper than any
+    sparse bookkeeping, so: conv(x) * mask."""
+    out = jax.lax.conv_general_dilated(
+        x, weight, (1, 1), [(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias
+    return out * (mask > 0).astype(out.dtype)[..., None]
+
+
+def carafe(x, kernels, up_factor: int = 2, k_up: int = 5):
+    """CARAFE content-aware upsampling (mmdet/ops/carafe CUDA):
+    each upsampled pixel is a k_up x k_up weighted sum of source pixels
+    around its low-res parent, with per-pixel predicted (softmaxed) kernels.
+
+    x: (B, H, W, C); kernels: (B, H*up, W*up, k_up*k_up) already softmaxed.
+    Returns (B, H*up, W*up, C).
+    """
+    b, h, w, c = x.shape
+    r = k_up // 2
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)))
+    # neighborhood stack: (B, H, W, k*k, C)
+    patches = jnp.stack(
+        [xp[:, dy:dy + h, dx:dx + w] for dy in range(k_up)
+         for dx in range(k_up)], 3)
+    # upsample patches to high-res grid (nearest: parent pixel)
+    patches = jnp.repeat(jnp.repeat(patches, up_factor, 1), up_factor, 2)
+    return (patches * kernels[..., None]).sum(3)
