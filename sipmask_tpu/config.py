@@ -27,6 +27,9 @@ class BackboneConfig:
     # DCN stages for SipMask++ (configs/sipmask/sipmask++_r101_caffe_fpn_ssd_6x.py:13-14)
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_deform_groups: int = 1
+    # ResNeXt (groups > 1): e.g. X-101 32x4d -> groups=32, base_width=4
+    groups: int = 1
+    base_width: int = 4
 
 
 @dataclass(frozen=True)
@@ -218,6 +221,11 @@ def get_config(name: str) -> SipMaskConfig:
         cfg = _r(cfg, "model.backbone", depth=101,
                  stage_with_dcn=(False, True, True, True))
         return _r(cfg, "model.head", rescoring=True)
+    if name == "sipmask_x101_fpn_gn_ms_2x":
+        # ResNeXt-101 32x4d backbone variant (mmdet resnext.py capability)
+        cfg = _hi_acc_base().replace(name=name)
+        cfg = _r(cfg, "model.backbone", depth=101, groups=32, base_width=4)
+        return _r(cfg, "train.optim", lr_steps=(16, 22), total_epochs=24)
     if name == "sipmask_vis_r50":
         # SipMask-VIS (SipMask-VIS/configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py:22-56)
         cfg = SipMaskConfig(name=name)
@@ -238,5 +246,6 @@ def list_configs():
         "sipmask_r101_fpn_ssd_6x",
         "sipmask_r50_fpn_ssd_10x_gn",
         "sipmaskpp_r101_fpn_ssd_6x",
+        "sipmask_x101_fpn_gn_ms_2x",
         "sipmask_vis_r50",
     ]

@@ -30,6 +30,8 @@ class SipMask(nn.Module):
             style=c.backbone.style,
             stage_with_dcn=c.backbone.stage_with_dcn,
             dcn_deform_groups=c.backbone.dcn_deform_groups,
+            groups=c.backbone.groups,
+            base_width=c.backbone.base_width,
             dtype=dtype)
         self.neck = FPN(
             out_channels=c.fpn.out_channels,

@@ -59,6 +59,10 @@ class Bottleneck(nn.Module):
     style: str = "caffe"
     with_dcn: bool = False
     dcn_deform_groups: int = 1
+    # ResNeXt (mmdet/models/backbones/resnext.py Bottleneck): grouped 3x3
+    # conv with width = planes * base_width/64 * groups
+    groups: int = 1
+    base_width: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,23 +70,29 @@ class Bottleneck(nn.Module):
         conv1_stride = self.stride if self.style == "caffe" else 1
         conv2_stride = 1 if self.style == "caffe" else self.stride
         identity = x
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64)) * self.groups
 
-        out = nn.Conv(self.planes, (1, 1), strides=(conv1_stride,) * 2,
+        out = nn.Conv(width, (1, 1), strides=(conv1_stride,) * 2,
                       use_bias=False, kernel_init=conv_init("kaiming"),
                       dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = nn.relu(FrozenBatchNorm(width, name="bn1")(out))
 
         if self.with_dcn:
-            out = DeformConvPack(self.planes,
+            assert self.groups == 1, "DCN + grouped conv not supported"
+            out = DeformConvPack(width,
                                  deform_groups=self.dcn_deform_groups,
                                  stride=conv2_stride, dtype=self.dtype,
                                  name="conv2")(out)
         else:
-            out = nn.Conv(self.planes, (3, 3), strides=(conv2_stride,) * 2,
+            out = nn.Conv(width, (3, 3), strides=(conv2_stride,) * 2,
                           padding=1, use_bias=False,
+                          feature_group_count=self.groups,
                           kernel_init=conv_init("kaiming"),
                           dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = nn.relu(FrozenBatchNorm(width, name="bn2")(out))
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=conv_init("kaiming"),
@@ -106,6 +116,10 @@ class ResNet(nn.Module):
     style: str = "caffe"
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_deform_groups: int = 1
+    # groups > 1 turns this into ResNeXt (mmdet resnext.py); e.g.
+    # ResNeXt-101 32x4d: depth=101, groups=32, base_width=4
+    groups: int = 1
+    base_width: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +146,8 @@ class ResNet(nn.Module):
                     style=self.style,
                     with_dcn=self.stage_with_dcn[stage],
                     dcn_deform_groups=self.dcn_deform_groups,
+                    groups=self.groups,
+                    base_width=self.base_width,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}")(x)
             if stage + 1 <= self.frozen_stages:

@@ -126,3 +126,24 @@ class TestSSDVariant:
                      jnp.asarray(batch["scale_factors"]))
         assert dets["boxes"].shape[1] == cfg.model.test.max_per_img
         assert np.isfinite(np.asarray(dets["scores"])).all()
+
+
+class TestResNeXt:
+    def test_grouped_bottleneck_shapes(self):
+        """ResNeXt-50 32x4d: grouped conv2 with width=planes*2."""
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.models.resnet import ResNet
+        m = ResNet(depth=50, groups=32, base_width=4)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))
+        outs = jax.jit(m.apply)(v, jnp.zeros((1, 64, 64, 3)))
+        assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+        k = v["params"]["layer1_0"]["conv2"]["kernel"]
+        assert k.shape == (3, 3, 4, 128)  # 128 width, 32 groups -> in 4
+
+    def test_x101_preset_builds(self):
+        from sipmask_tpu.config import get_config
+        cfg = get_config("sipmask_x101_fpn_gn_ms_2x")
+        assert cfg.model.backbone.groups == 32
+        assert cfg.model.backbone.depth == 101
