@@ -48,7 +48,7 @@ class FeatureAlign(nn.Module):
                               jax.lax.stop_gradient(shape))
         weight = self.param("kernel", conv_init("normal0.01"),
                             (3, 3, x.shape[-1], self.features), jnp.float32)
-        x = deform_conv2d(x.astype(jnp.float32), offsets, weight,
+        x = deform_conv2d(x, offsets, weight.astype(x.dtype),
                           padding=1, deform_groups=self.deform_groups)
         if self.with_norm:
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)

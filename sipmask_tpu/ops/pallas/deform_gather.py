@@ -41,7 +41,9 @@ import jax
 import jax.numpy as jnp
 
 P_BLK = 512
-Q_BLK = 512
+Q_BLK = 512       # forward tile sizes
+P_BLK_BWD = 256
+Q_BLK_BWD = 256   # narrower backward tiles (more live temps per tile)
 
 
 def pallas_available() -> bool:
@@ -100,8 +102,10 @@ def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
     inv_w = 1.0 / w
     for t in range(k_n):
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        py = pyx_ref[0, t, :, 0:1]          # (P_BLK, 1) f32
-        px = pyx_ref[0, t, :, 1:2]
+        # positions packed (P_BLK, K*2) so the tiny trailing dim never
+        # pads the 128-lane axis
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
         bits = bits_ref[(bn * pb_n + bp) * k_n + t]
         for qt in range(qt_n):
             @pl.when((bits >> qt) & 1 > 0)
@@ -118,6 +122,25 @@ def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
                     s, x_ref[0, q0:q0 + Q_BLK, :],
                     preferred_element_type=jnp.float32)
         out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _tile_bits(pyxp, h, w, n, k, pb, qt_n, q_blk):
+    """Bit mask of q-tiles touched, per (n, tap, p-block), from the 4
+    clipped corner positions of each pixel. Flattened (N*PB*K,) for
+    scalar-prefetch."""
+    py, px = pyxp[..., 0], pyxp[..., 1]
+    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    qs = jnp.stack([y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1],
+                   -1).astype(jnp.int32)          # (N, K, Ppad, 4)
+    tq = (qs // q_blk).reshape(n, k, pb, -1)
+    hits = jax.vmap(
+        lambda t: (t[..., None] == jnp.arange(qt_n)).any(-2),
+        in_axes=2, out_axes=2)(tq)                # (N, K, PB, QT)
+    bits = (hits.astype(jnp.int32) << jnp.arange(qt_n)).sum(-1)
+    return bits.transpose(0, 2, 1).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -139,41 +162,140 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
     if ppad != p:
         mask = (jnp.arange(ppad) < p)[None, None, :, None]
         pyxp = jnp.where(mask, pyxp, -2.0)
-
-    # bit mask of q-tiles touched, per (n, tap, p-block): from the 4
-    # clipped corner positions of each pixel
-    py, px = pyxp[..., 0], pyxp[..., 1]
-    y0 = jnp.clip(jnp.floor(py), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(px), 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    qs = jnp.stack([y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1],
-                   -1).astype(jnp.int32)          # (N, K, Ppad, 4)
-    tq = (qs // Q_BLK).reshape(n, k, pb, P_BLK * 4)
-    hits = jax.vmap(
-        lambda t: (t[..., None] == jnp.arange(qt_n)).any(-2),
-        in_axes=2, out_axes=2)(tq)                # (N, K, PB, QT)
-    bits = (hits.astype(jnp.int32) << jnp.arange(qt_n)).sum(-1)
-    bits = bits.transpose(0, 2, 1).reshape(-1)    # (N*PB*K,) scalar-prefetch
+    bits = _tile_bits(pyxp, h, w, n, k, pb, qt_n, Q_BLK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, pb),
         in_specs=[
-            pl.BlockSpec((1, k, P_BLK, 2), lambda bn, bp, *_: (bn, 0, bp, 0)),
+            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
             pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, k, P_BLK, cg),
                                lambda bn, bp, *_: (bn, 0, bp, 0)),
         scratch_shapes=[pltpu.VMEM((P_BLK, cg), jnp.float32)],
     )
+    pyx_packed = pyxp.astype(jnp.float32).transpose(0, 2, 1, 3)
+    pyx_packed = pyx_packed.reshape(n, ppad, 2 * k)
     out = pl.pallas_call(
         functools.partial(_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
         out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bits, pyxp.astype(jnp.float32), xp)
+    )(bits, pyx_packed, xp)
     return out[:, :, :p, :]
+
+
+def _bwd_kernel(bits_ref, pyx_ref, x_ref, g_ref, dx_ref, dpyx_ref,
+                *, qt_n, k_n, pb_n, w, q_blk):
+    """Backward of the tent sampling, same banded tiling as the forward:
+
+      dX[q, :]  += sum_p S[p, q] * g[p, :]            (S^T @ g on the MXU)
+      d py[p]    = sum_q  tent'(qy-py) * tx * M[p, q]
+      d px[p]    = sum_q  ty * tent'(qx-px) * M[p, q]
+      M[p, q]    = g[p, :] . X[q, :]                   (g @ X^T on the MXU)
+
+    with tent'(u) = -sign(u) on |u| < 1 (zero outside and at u = 0; exact
+    integer positions are a measure-zero subgradient choice).
+
+    dX accumulates across the p-block grid dimension (the dx block revisits
+    with bp, which Pallas runs sequentially).
+    """
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    inv_w = 1.0 / w
+
+    @pl.when(bp == 0)
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    for t in range(k_n):
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        g = g_ref[0, t]                          # (P_BLK, Cg)
+        bits = bits_ref[(bn * pb_n + bp) * k_n + t]
+        dpyx_ref[0, :, 2 * t:2 * t + 2] = jnp.zeros_like(
+            dpyx_ref[0, :, 2 * t:2 * t + 2])
+        for qt in range(qt_n):
+            @pl.when((bits >> qt) & 1 > 0)
+            def _(qt=qt, py=py, px=px, g=g, t=t):
+                q0 = qt * q_blk
+                j = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, q_blk), 1).astype(jnp.float32) + float(q0)
+                qy = jnp.floor(j * inv_w)
+                qx = j - qy * w
+                uy = qy - py
+                ux = qx - px
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(uy))   # (P_BLK, QB)
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+                s = (ty * tx).astype(x_ref.dtype)
+                xt = x_ref[0, q0:q0 + q_blk, :]
+                dx_ref[0, q0:q0 + q_blk, :] += jnp.dot(
+                    s.T, g.astype(x_ref.dtype),
+                    preferred_element_type=jnp.float32
+                ).astype(dx_ref.dtype)
+                m = jnp.dot(g.astype(x_ref.dtype), xt.T,
+                            preferred_element_type=jnp.float32)
+                # d tent(qy - py)/d py = -tent'(u) = +sign(u) on |u| < 1
+                dty = jnp.where(jnp.abs(uy) < 1.0, jnp.sign(uy), 0.0)
+                dtx = jnp.where(jnp.abs(ux) < 1.0, jnp.sign(ux), 0.0)
+                dpyx_ref[0, :, 2 * t:2 * t + 1] += (
+                    dty * tx * m).sum(1, keepdims=True)
+                dpyx_ref[0, :, 2 * t + 1:2 * t + 2] += (
+                    ty * dtx * m).sum(1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    qpad = -(-q // Q_BLK_BWD) * Q_BLK_BWD
+    ppad = -(-p // P_BLK_BWD) * P_BLK_BWD
+    pb, qt_n = ppad // P_BLK_BWD, qpad // Q_BLK_BWD
+    assert qt_n <= 31, "bit-packed tile mask supports at most 31 Q tiles"
+
+    xp = _pad_to(x_rows, qpad, 1)
+    gp = _pad_to(g, ppad, 2)
+    pyxp = _pad_to(pyx, ppad, 2)
+    if ppad != p:
+        mask = (jnp.arange(ppad) < p)[None, None, :, None]
+        pyxp = jnp.where(mask, pyxp, -2.0)
+    bits = _tile_bits(pyxp, h, w, n, k, pb, qt_n, Q_BLK_BWD)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, P_BLK_BWD, 2 * k),
+                         lambda bn, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+            pl.BlockSpec((1, k, P_BLK_BWD, cg),
+                         lambda bn, bp, *_: (bn, 0, bp, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+            pl.BlockSpec((1, P_BLK_BWD, 2 * k),
+                         lambda bn, bp, *_: (bn, bp, 0)),
+        ),
+    )
+    pyx_packed = pyxp.astype(jnp.float32).transpose(0, 2, 1, 3)
+    pyx_packed = pyx_packed.reshape(n, ppad, 2 * k)
+    dx, dpyx = pl.pallas_call(
+        functools.partial(_bwd_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w,
+                          q_blk=Q_BLK_BWD),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
+            jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bits, pyx_packed, xp, gp.astype(x_rows.dtype))
+    dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
+    return dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -197,6 +319,8 @@ def _fwd(x_rows, pyx, h, w):
 
 def _bwd(h, w, res, g):
     x_rows, pyx = res
+    if pallas_available():
+        return _sample_pallas_bwd(x_rows, pyx, g, h, w)
     _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x_rows, pyx)
     return vjp(g)
 

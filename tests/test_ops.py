@@ -357,3 +357,24 @@ class TestPallasDeformGather:
         g = jax.grad(loss)(off)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+    def test_bwd_kernel_interpret_matches_autodiff(self):
+        """Pallas backward (interpret) == autodiff of the XLA reference."""
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas.deform_gather import (
+            _sample_pallas_bwd, sample_ref)
+        rng = np.random.RandomState(5)
+        n, h, w, cg, k, p = 2, 9, 11, 8, 2, 60
+        x = jnp.asarray(rng.randn(n, h * w, cg).astype(np.float32))
+        # avoid exact-integer positions (subgradient convention differs)
+        pyx = jnp.asarray(
+            rng.rand(n, k, p, 2).astype(np.float32) * 13 - 1.3) + 0.21
+        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x, pyx)
+        want_dx, want_dp = vjp(g)
+        got_dx, got_dp = _sample_pallas_bwd(x, pyx, g, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(got_dp), np.asarray(want_dp),
+                                   rtol=2e-2, atol=2e-2)
