@@ -27,6 +27,29 @@ from ..utils.checkpoint import (save_checkpoint, restore_checkpoint,
 from ..utils.logging import MetricLogger
 
 
+def make_coco_eval_hook(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
+                        batch_size: int = 4, interval_epochs: int = 1,
+                        metrics=("bbox", "segm")):
+    """Eval-during-train hook (the reference's DistEvalHook,
+    mmdet/core/evaluation/eval_hooks.py:7-51): runs COCO inference + eval
+    every ``interval_epochs`` and prints/returns the stats."""
+    from ..data import CocoDataset
+    from .test import run_inference, evaluate_coco
+
+    dataset = CocoDataset(ann_file, img_prefix, test_mode=True)
+
+    def hook(model, state, epoch):
+        if epoch % interval_epochs:
+            return None
+        variables = {"params": state.params, "constants": state.constants}
+        results = run_inference(model, variables, cfg, dataset,
+                                batch_size=batch_size, progress=False)
+        print(f"== eval @ epoch {epoch} ==")
+        return evaluate_coco(results, ann_file, metrics=metrics)
+
+    return hook
+
+
 def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
                    work_dir: str, resume: bool = True,
                    load_from: Optional[str] = None,

@@ -115,6 +115,9 @@ class DataConfig:
     """
 
     img_scale: Tuple[int, int] = (1333, 800)  # (long, short) keep-ratio target
+    # multi-scale training: one scale sampled per image (the reference's
+    # Resize with a list of img_scales); padding buckets use the largest
+    ms_scales: Optional[Tuple[Tuple[int, int], ...]] = None
     keep_ratio: bool = True
     fixed_size: Optional[Tuple[int, int]] = None  # (H, W); real-time: (544, 544)
     flip_ratio: float = 0.5
@@ -200,10 +203,12 @@ def get_config(name: str) -> SipMaskConfig:
         return _hi_acc_base().replace(name=name)
     if name == "sipmask_r50_fpn_gn_ms_2x":
         cfg = _hi_acc_base().replace(name=name)
+        cfg = _r(cfg, "data", ms_scales=((1333, 640), (1333, 800)))
         return _r(cfg, "train.optim", lr_steps=(16, 22), total_epochs=24)
     if name == "sipmask_r101_fpn_gn_ms_4x":
         cfg = _hi_acc_base().replace(name=name)
         cfg = _r(cfg, "model.backbone", depth=101)
+        cfg = _r(cfg, "data", ms_scales=((1333, 640), (1333, 800)))
         return _r(cfg, "train.optim", lr_steps=(32, 44), total_epochs=48)
     if name == "sipmask_r50_fpn_ssd_6x":
         return _realtime_base(name)
@@ -225,6 +230,7 @@ def get_config(name: str) -> SipMaskConfig:
         # ResNeXt-101 32x4d backbone variant (mmdet resnext.py capability)
         cfg = _hi_acc_base().replace(name=name)
         cfg = _r(cfg, "model.backbone", depth=101, groups=32, base_width=4)
+        cfg = _r(cfg, "data", ms_scales=((1333, 640), (1333, 800)))
         return _r(cfg, "train.optim", lr_steps=(16, 22), total_epochs=24)
     if name == "sipmask_vis_r50":
         # SipMask-VIS (SipMask-VIS/configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py:22-56)
@@ -234,6 +240,10 @@ def get_config(name: str) -> SipMaskConfig:
                  use_fast_nms=True, mask_thr=0.5)
         cfg = _r(cfg, "data", img_scale=(640, 360))
         return _r(cfg, "train.optim", lr=0.005)
+    if name == "sipmask_vis_r50_ms":
+        # VIS multi-scale training row (reference README:155)
+        cfg = get_config("sipmask_vis_r50").replace(name=name)
+        return _r(cfg, "data", ms_scales=((640, 360), (960, 480)))
     raise KeyError(f"unknown config preset: {name!r}; known: {list_configs()}")
 
 
@@ -248,4 +258,5 @@ def list_configs():
         "sipmaskpp_r101_fpn_ssd_6x",
         "sipmask_x101_fpn_gn_ms_2x",
         "sipmask_vis_r50",
+        "sipmask_vis_r50_ms",
     ]

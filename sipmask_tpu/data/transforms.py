@@ -153,7 +153,9 @@ class TrainTransform:
         c = self.cfg
         if c.fixed_size is not None:
             return c.fixed_size
-        long_s, short_s = max(c.img_scale), min(c.img_scale)
+        scales = c.ms_scales or (c.img_scale,)
+        long_s = max(max(sc) for sc in scales)
+        short_s = max(min(sc) for sc in scales)
         d = c.size_divisor
         pad = lambda v: (v + d - 1) // d * d
         return ((pad(short_s), pad(long_s)) if landscape
@@ -180,7 +182,10 @@ class TrainTransform:
             out_h, out_w = cfg.fixed_size
             landscape = True
         else:
-            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            scale = cfg.img_scale
+            if cfg.ms_scales:  # multi-scale train: sample one per image
+                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
+            out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
         sx, sy = out_w / w, out_h / h
         img = resize_image(img, out_h, out_w)
@@ -255,7 +260,10 @@ class TestTransform:
             out_h, out_w = cfg.fixed_size
             landscape = True
         else:
-            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            scale = cfg.img_scale
+            if cfg.ms_scales:  # multi-scale train: sample one per image
+                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
+            out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
         sx, sy = out_w / w, out_h / h
         img = resize_image(img, out_h, out_w)
@@ -302,7 +310,10 @@ class VISPairTransform:
             out_h, out_w = cfg.fixed_size
             landscape = True
         else:
-            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
+            scale = cfg.img_scale
+            if cfg.ms_scales:  # multi-scale train: sample one per image
+                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
+            out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
         sx, sy = out_w / w, out_h / h
         scale = np.array([sx, sy, sx, sy], np.float32)

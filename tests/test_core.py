@@ -203,3 +203,44 @@ class TestLosses:
         # BCE(p=0, t=0) must be exactly 0 (pixels outside boxes)
         v = float(losses.binary_cross_entropy(jnp.zeros(3), jnp.zeros(3)).sum())
         assert v == 0.0
+
+
+class TestAssignersSamplers:
+    def test_max_iou_assign(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.core.assigners import max_iou_assign
+        boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 9, 9], [50, 50, 60, 60],
+                             [100, 100, 101, 101]], jnp.float32)
+        gts = jnp.asarray([[0, 0, 10, 10], [48, 48, 62, 62],
+                           [0, 0, 0, 0]], jnp.float32)
+        labels = jnp.asarray([3, 7, 0], jnp.int32)
+        valid = jnp.asarray([True, True, False])
+        r = max_iou_assign(boxes, gts, labels, valid)
+        out = np.asarray(r.gt_inds)
+        assert out[0] == 1            # exact match -> gt 1
+        assert out[1] == 1            # IoU ~0.66 >= 0.5
+        assert out[2] == 2            # good overlap with gt 2
+        assert out[3] == 0            # no overlap -> negative
+        assert np.asarray(r.labels).tolist() == [3, 3, 7, 0]
+
+    def test_low_quality_match_claims_best_box(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.core.assigners import max_iou_assign
+        boxes = jnp.asarray([[0, 0, 30, 30]], jnp.float32)
+        gts = jnp.asarray([[0, 0, 10, 10]], jnp.float32)  # IoU ~0.12
+        r = max_iou_assign(boxes, gts, jnp.asarray([5], jnp.int32),
+                           jnp.asarray([True]))
+        assert int(r.gt_inds[0]) == 1  # claimed via low-quality match
+
+    def test_random_sampler_caps_and_validity(self):
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.core.assigners import (AssignResult, random_sample)
+        gt_inds = jnp.asarray([1, 0, 0, 2, 0, -1, 0, 1], jnp.int32)
+        a = AssignResult(gt_inds, jnp.zeros(8), jnp.zeros(8, jnp.int32))
+        s = random_sample(a, jax.random.PRNGKey(0), num=6, pos_fraction=0.5)
+        pos = np.asarray(s.pos_inds)[np.asarray(s.pos_valid)]
+        neg = np.asarray(s.neg_inds)[np.asarray(s.neg_valid)]
+        assert set(pos) <= {0, 3, 7} and len(pos) == 3
+        assert set(neg) <= {1, 2, 4, 6} and len(neg) == 3
+        assert not (set(pos) & set(neg))

@@ -182,3 +182,26 @@ class TestCorruptions:
             assert False
         except KeyError as e:
             assert "not_a_corruption" in str(e)
+
+
+class TestMultiScaleTrain:
+    def test_scales_sampled_and_bucket_covers_largest(self):
+        import dataclasses
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data.transforms import TrainTransform
+        cfg = DataConfig(img_scale=(160, 96),
+                         ms_scales=((160, 96), (200, 128)), max_gts=4)
+        t = TrainTransform(cfg, seed=0)
+        assert t.bucket_shape(True) == (128, 224)  # padded largest scale
+        rng = np.random.RandomState(0)
+        img = (rng.rand(100, 150, 3) * 255).astype(np.uint8)
+        boxes = np.array([[10, 10, 60, 60]], np.float32)
+        labels = np.array([1], np.int32)
+        masks = np.zeros((1, 100, 150), np.uint8)
+        masks[0, 10:60, 10:60] = 1
+        shapes = set()
+        for _ in range(20):
+            s = t(img, boxes, labels, masks)
+            assert s.image.shape == (128, 224, 3)  # static bucket
+            shapes.add(tuple(s.img_shape.astype(int)))
+        assert len(shapes) >= 2  # both scales seen

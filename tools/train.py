@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--val-ann", default=None,
+                    help="enable eval-during-train on this val json")
+    ap.add_argument("--val-img-prefix", default=None)
     args = ap.parse_args()
 
     from sipmask_tpu.config import get_config, _r
@@ -32,13 +35,18 @@ def main():
 
     enable_compile_cache()
     from sipmask_tpu.apis import train_detector
+    from sipmask_tpu.apis.train import make_coco_eval_hook
 
     cfg = get_config(args.config)
     if args.seed is not None:
         cfg = _r(cfg, "train", seed=args.seed)
+    eval_hook = None
+    if args.val_ann:
+        eval_hook = make_coco_eval_hook(
+            cfg, args.val_ann, args.val_img_prefix or args.img_prefix)
     train_detector(cfg, args.ann, args.img_prefix, args.work_dir,
                    resume=not args.no_resume, load_from=args.load_from,
-                   max_steps=args.max_steps)
+                   max_steps=args.max_steps, eval_hook=eval_hook)
 
 
 if __name__ == "__main__":
