@@ -61,12 +61,25 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
     n_dev = len(mesh.devices.flatten())
     batch_size = cfg.train.imgs_per_device * n_dev
 
-    if dataset is None:
-        dataset = CocoDataset(ann_file, img_prefix)
-    transform = TrainTransform(cfg.data, seed=cfg.train.seed)
-    loader, steps_per_epoch = build_train_loader(
-        dataset, transform, batch_size, seed=cfg.train.seed,
-        repeat_times=cfg.data.repeat_times)
+    is_vis = cfg.model.head.track
+    if is_vis:
+        # VIS training: frame-pair sampling from YTVOS with the tracking
+        # branch on (SipMask-VIS train path)
+        from ..data.ytvos import YTVOSDataset
+        from ..data.transforms import VISPairTransform
+        from ..data.loader import build_vis_train_loader
+        if dataset is None:
+            dataset = YTVOSDataset(ann_file, img_prefix, seed=cfg.train.seed)
+        transform = VISPairTransform(cfg.data, seed=cfg.train.seed)
+        loader, steps_per_epoch = build_vis_train_loader(
+            dataset, transform, batch_size, seed=cfg.train.seed)
+    else:
+        if dataset is None:
+            dataset = CocoDataset(ann_file, img_prefix)
+        transform = TrainTransform(cfg.data, seed=cfg.train.seed)
+        loader, steps_per_epoch = build_train_loader(
+            dataset, transform, batch_size, seed=cfg.train.seed,
+            repeat_times=cfg.data.repeat_times)
 
     first = next(loader)
     model, state, tx = create_train_state(

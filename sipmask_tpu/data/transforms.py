@@ -260,10 +260,8 @@ class TestTransform:
             out_h, out_w = cfg.fixed_size
             landscape = True
         else:
-            scale = cfg.img_scale
-            if cfg.ms_scales:  # multi-scale train: sample one per image
-                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
-            out_h, out_w = imrescale_size(h, w, scale)
+            # test-time always uses the canonical img_scale (no ms sampling)
+            out_h, out_w = imrescale_size(h, w, cfg.img_scale)
             landscape = out_w >= out_h
         sx, sy = out_w / w, out_h / h
         img = resize_image(img, out_h, out_w)

@@ -13,6 +13,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -51,15 +52,20 @@ def restore_checkpoint(path: str, state):
 
 
 def load_weights(path: str, state):
-    """Weights-only load (the reference's ``load_from``)."""
-    ckpt = ocp.StandardCheckpointer()
-    target = dict(params=_to_numpy(state.params),
-                  constants=_to_numpy(state.constants),
-                  opt_state=_to_numpy(state.opt_state),
-                  step=np.asarray(state.step))
-    restored = ckpt.restore(os.path.abspath(path), target)
-    return state.replace(params=restored["params"],
-                         constants=restored["constants"])
+    """Weights-only load (the reference's ``load_from``).
+
+    Restores only params/constants so it works regardless of whether the
+    checkpoint carries an optimizer state or what shape it has (a full
+    train checkpoint, a published slim checkpoint, or a converted torch
+    one).
+    """
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckpt:
+        restored = ckpt.restore(path)
+    return state.replace(
+        params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+        constants=jax.tree_util.tree_map(
+            jnp.asarray, restored.get("constants", state.constants)))
 
 
 def latest_checkpoint(work_dir: str) -> Optional[str]:
