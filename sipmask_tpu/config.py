@@ -17,8 +17,11 @@ INF = 1e8
 
 @dataclass(frozen=True)
 class BackboneConfig:
-    """Caffe-style ResNet (reference: mmdet/models/backbones/resnet.py:319-521)."""
+    """Backbone: caffe-style ResNet/ResNeXt (mmdet resnet.py:319-521,
+    resnext.py) or HRNet (mmdet hrnet.py)."""
 
+    type: str = "resnet"  # 'resnet' | 'hrnet'
+    hrnet_width: int = 32  # 18/32/48 when type='hrnet'
     depth: int = 50  # 50 or 101
     num_stages: int = 4
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
@@ -34,8 +37,10 @@ class BackboneConfig:
 
 @dataclass(frozen=True)
 class FPNConfig:
-    """FPN P3..P7 (reference: mmdet/models/necks/fpn.py:10-178, config :13-21)."""
+    """FPN P3..P7 (reference: mmdet/models/necks/fpn.py:10-178, config :13-21)
+    or HRFPN (mmdet necks/hrfpn.py) for HRNet backbones."""
 
+    type: str = "fpn"  # 'fpn' | 'hrfpn'
     in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
     out_channels: int = 256
     start_level: int = 1
@@ -232,6 +237,11 @@ def get_config(name: str) -> SipMaskConfig:
         cfg = _r(cfg, "model.backbone", depth=101, groups=32, base_width=4)
         cfg = _r(cfg, "data", ms_scales=((1333, 640), (1333, 800)))
         return _r(cfg, "train.optim", lr_steps=(16, 22), total_epochs=24)
+    if name == "sipmask_hrnet_w32_fpn_gn_1x":
+        # HRNetV2-W32 + HRFPN variant (mmdet hrnet.py / hrfpn.py capability)
+        cfg = _hi_acc_base().replace(name=name)
+        cfg = _r(cfg, "model.backbone", type="hrnet", hrnet_width=32)
+        return _r(cfg, "model.fpn", type="hrfpn", start_level=0)
     if name == "sipmask_vis_r50":
         # SipMask-VIS (SipMask-VIS/configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py:22-56)
         cfg = SipMaskConfig(name=name)
@@ -257,6 +267,7 @@ def list_configs():
         "sipmask_r50_fpn_ssd_10x_gn",
         "sipmaskpp_r101_fpn_ssd_6x",
         "sipmask_x101_fpn_gn_ms_2x",
+        "sipmask_hrnet_w32_fpn_gn_1x",
         "sipmask_vis_r50",
         "sipmask_vis_r50_ms",
     ]

@@ -14,6 +14,7 @@ import flax.linen as nn
 from ..config import ModelConfig
 from .resnet import ResNet
 from .fpn import FPN
+from .hrnet import HRNet, HRFPN
 from .sipmask_head import SipMaskHead, RescoringHead
 
 
@@ -23,24 +24,31 @@ class SipMask(nn.Module):
     def setup(self):
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
-        self.backbone = ResNet(
-            depth=c.backbone.depth,
-            out_indices=c.backbone.out_indices,
-            frozen_stages=c.backbone.frozen_stages,
-            style=c.backbone.style,
-            stage_with_dcn=c.backbone.stage_with_dcn,
-            dcn_deform_groups=c.backbone.dcn_deform_groups,
-            groups=c.backbone.groups,
-            base_width=c.backbone.base_width,
-            dtype=dtype)
-        self.neck = FPN(
-            out_channels=c.fpn.out_channels,
-            start_level=c.fpn.start_level,
-            num_outs=c.fpn.num_outs,
-            add_extra_convs=c.fpn.add_extra_convs,
-            extra_convs_on_inputs=c.fpn.extra_convs_on_inputs,
-            relu_before_extra_convs=c.fpn.relu_before_extra_convs,
-            dtype=dtype)
+        if c.backbone.type == "hrnet":
+            self.backbone = HRNet(width=c.backbone.hrnet_width, dtype=dtype)
+        else:
+            self.backbone = ResNet(
+                depth=c.backbone.depth,
+                out_indices=c.backbone.out_indices,
+                frozen_stages=c.backbone.frozen_stages,
+                style=c.backbone.style,
+                stage_with_dcn=c.backbone.stage_with_dcn,
+                dcn_deform_groups=c.backbone.dcn_deform_groups,
+                groups=c.backbone.groups,
+                base_width=c.backbone.base_width,
+                dtype=dtype)
+        if c.fpn.type == "hrfpn":
+            self.neck = HRFPN(out_channels=c.fpn.out_channels,
+                              num_outs=c.fpn.num_outs, dtype=dtype)
+        else:
+            self.neck = FPN(
+                out_channels=c.fpn.out_channels,
+                start_level=c.fpn.start_level,
+                num_outs=c.fpn.num_outs,
+                add_extra_convs=c.fpn.add_extra_convs,
+                extra_convs_on_inputs=c.fpn.extra_convs_on_inputs,
+                relu_before_extra_convs=c.fpn.relu_before_extra_convs,
+                dtype=dtype)
         self.head = SipMaskHead(c.head, dtype=dtype)
         if c.head.rescoring:
             self.rescoring = RescoringHead(c.head.num_classes, dtype=dtype)

@@ -147,3 +147,40 @@ class TestResNeXt:
         cfg = get_config("sipmask_x101_fpn_gn_ms_2x")
         assert cfg.model.backbone.groups == 32
         assert cfg.model.backbone.depth == 101
+
+
+class TestHRNet:
+    def test_branch_shapes_and_hrfpn_levels(self):
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.models.hrnet import HRNet, HRFPN
+        m = HRNet(width=18)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs = jax.jit(m.apply)(v, x)
+        assert [o.shape[1:] for o in outs] == [
+            (16, 16, 18), (8, 8, 36), (4, 4, 72), (2, 2, 144)]
+        neck = HRFPN(out_channels=32, num_outs=5)
+        vn = jax.jit(neck.init)(jax.random.PRNGKey(0), outs)
+        levels = jax.jit(neck.apply)(vn, outs)
+        # base_pool=1: strides 8..128 -> 8x8 first level on a 64px input
+        assert [l.shape[1:3] for l in levels] == [
+            (8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+        assert all(l.shape[-1] == 32 for l in levels)
+
+    def test_full_detector_with_hrnet_preset(self):
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.config import get_config, _r
+        from sipmask_tpu.models import build_model
+        cfg = get_config("sipmask_hrnet_w32_fpn_gn_1x")
+        cfg = _r(cfg, "model.backbone", hrnet_width=18)
+        cfg = _r(cfg, "model.fpn", out_channels=32)
+        cfg = _r(cfg, "model.head", in_channels=32, feat_channels=32,
+                 stacked_convs=2)
+        model = build_model(cfg.model)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(model.apply)(v, x)
+        assert len(out["cls_scores"]) == 5
+        assert out["feat_masks"].shape[1:3] == (32, 32)  # stride-2 grid
