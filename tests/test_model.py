@@ -184,3 +184,22 @@ class TestHRNet:
         out = jax.jit(model.apply)(v, x)
         assert len(out["cls_scores"]) == 5
         assert out["feat_masks"].shape[1:3] == (32, 32)  # stride-2 grid
+
+
+class TestSSDVGG:
+    def test_output_levels(self):
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.models.ssd_vgg import SSDVGG
+        m = SSDVGG(num_extras=2)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs = jax.jit(m.apply)(v, x)
+        # conv4_3 @ /8, fc7 @ /16 (pool5 is stride-1), extras /32, /64
+        assert [o.shape[1:3] for o in outs] == [
+            (8, 8), (4, 4), (2, 2), (1, 1)]
+        assert outs[0].shape[-1] == 512 and outs[1].shape[-1] == 1024
+        # L2Norm normalizes conv4_3 channel vectors to ~|gamma|
+        n = np.linalg.norm(np.asarray(outs[0][0, 0, 0])) / 20.0
+        assert 0.5 < n < 2.0
