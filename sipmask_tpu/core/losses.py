@@ -81,6 +81,31 @@ def giou_loss(pred, target, weight=None, avg_factor=None, eps: float = 1e-7):
     return _reduce(1 - gious, weight, avg_factor)
 
 
+def bounded_iou_loss(pred, target, weight=None, avg_factor=None,
+                     beta: float = 0.2, eps: float = 1e-3):
+    """BoundedIoULoss (mmdet iou_loss.py BIoU: per-coordinate bounded IoU
+    deltas through a smooth-L1), completing the reference's IoU-loss family.
+    pred/target: (..., 4) xyxy."""
+    px = (pred[..., 0] + pred[..., 2]) * 0.5
+    py = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0] + 1
+    ph = pred[..., 3] - pred[..., 1] + 1
+    tx = (target[..., 0] + target[..., 2]) * 0.5
+    ty = (target[..., 1] + target[..., 3]) * 0.5
+    tw = target[..., 2] - target[..., 0] + 1
+    th = target[..., 3] - target[..., 1] + 1
+
+    dx = 1 - jnp.clip((tw - 2 * jnp.abs(px - tx)) / (tw + 2 * jnp.abs(px - tx)
+                                                     + eps), 0)
+    dy = 1 - jnp.clip((th - 2 * jnp.abs(py - ty)) / (th + 2 * jnp.abs(py - ty)
+                                                     + eps), 0)
+    dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    d = jnp.stack([dx, dy, dw, dh], -1)
+    loss = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta).sum(-1)
+    return _reduce(loss, weight, avg_factor)
+
+
 def bce_with_logits(logits, targets, weight=None, avg_factor=None):
     loss = optax_sigmoid_bce(logits, targets)
     return _reduce(loss, weight, avg_factor)

@@ -244,3 +244,23 @@ class TestAssignersSamplers:
         assert set(pos) <= {0, 3, 7} and len(pos) == 3
         assert set(neg) <= {1, 2, 4, 6} and len(neg) == 3
         assert not (set(pos) & set(neg))
+
+
+class TestBoundedIoULoss:
+    def test_zero_for_perfect_match_and_positive_otherwise(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.core.losses import bounded_iou_loss
+        t = jnp.asarray([[10.0, 10.0, 50.0, 30.0]])
+        assert float(bounded_iou_loss(t, t)) < 1e-5
+        p = jnp.asarray([[12.0, 11.0, 55.0, 28.0]])
+        assert float(bounded_iou_loss(p, t)) > 0.0
+
+    def test_weight_and_avg_factor(self):
+        import jax.numpy as jnp
+        from sipmask_tpu.core.losses import bounded_iou_loss
+        t = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 10.0]])
+        p = jnp.asarray([[1.0, 1.0, 12.0, 12.0], [1.0, 1.0, 12.0, 12.0]])
+        full = float(bounded_iou_loss(p, t))
+        half = float(bounded_iou_loss(p, t, weight=jnp.asarray([1.0, 0.0]),
+                                      avg_factor=2.0))
+        assert abs(half - full / 4) < 1e-6
