@@ -164,28 +164,10 @@ class COCOEvaluator:
         n_dt = len(prep["scores"])
         n_gt = len(gt_ig)
 
-        t_n = len(IOU_THRS)
-        dtm = np.zeros((t_n, n_dt), np.int64)
-        gtm = np.zeros((t_n, n_gt), np.int64)
-        dt_ig = np.zeros((t_n, n_dt), bool)
-        for ti, t in enumerate(IOU_THRS):
-            for di in range(n_dt):
-                best_iou = min(t, 1 - 1e-10)
-                m = -1
-                for gi in range(n_gt):
-                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
-                        continue
-                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                        break
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    m = gi
-                if m == -1:
-                    continue
-                dt_ig[ti, di] = gt_ig[m]
-                dtm[ti, di] = m + 1
-                gtm[ti, m] = di + 1
+        dtm, dt_ig = native.greedy_match(
+            np.asarray(ious, np.float64).reshape(n_dt, n_gt), IOU_THRS,
+            gt_ig, iscrowd)
+        dt_ig = dt_ig.astype(bool)
         out_of_rng = ((prep["dt_area"] < area_rng[0])
                       | (prep["dt_area"] > area_rng[1]))
         dt_ig = dt_ig | ((dtm == 0) & out_of_rng[None, :])

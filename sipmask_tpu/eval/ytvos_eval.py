@@ -136,29 +136,11 @@ class YTVOSEvaluator:
         ious = prep["ious"][:, order_g] if len(order_g) else prep["ious"]
         n_dt, n_gt = len(prep["scores"]), len(gt_ig)
 
-        t_n = len(IOU_THRS)
-        dtm = np.zeros((t_n, n_dt), np.int64)
-        gtm = np.zeros((t_n, n_gt), np.int64)
-        dt_ig = np.zeros((t_n, n_dt), bool)
-        for ti, t in enumerate(IOU_THRS):
-            for di in range(n_dt):
-                best = min(t, 1 - 1e-10)
-                m = -1
-                for gi in range(n_gt):
-                    if gtm[ti, gi] > 0 and not iscrowd[gi]:
-                        continue
-                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best = ious[di, gi]
-                    m = gi
-                if m == -1:
-                    continue
-                dt_ig[ti, di] = gt_ig[m]
-                dtm[ti, di] = m + 1
-                gtm[ti, m] = di + 1
-        return dict(scores=prep["scores"], dtm=dtm, dt_ig=dt_ig,
+        dtm, dt_ig = native.greedy_match(
+            np.asarray(ious, np.float64).reshape(n_dt, n_gt), IOU_THRS,
+            gt_ig, iscrowd)
+        return dict(scores=prep["scores"], dtm=dtm,
+                    dt_ig=dt_ig.astype(bool),
                     n_gt=int((~gt_ig).sum()))
 
     def summarize(self, verbose: bool = True):

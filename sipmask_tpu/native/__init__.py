@@ -89,6 +89,10 @@ def _load():
     lib.rle_inter_matrix.restype = None
     lib.rle_inter_matrix.argtypes = [u32p, i64p, ctypes.c_int,
                                      u32p, i64p, ctypes.c_int, dp]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.greedy_match.restype = None
+    lib.greedy_match.argtypes = [dp, ctypes.c_int, ctypes.c_int,
+                                 dp, ctypes.c_int, u8p, u8p, i32p, u8p]
     _lib = lib
     return _lib
 
@@ -198,6 +202,53 @@ def inter_matrix(dt_rles: Sequence[dict], gt_rles: Sequence[dict]
                          _u32p(gcat), _i64p(goffs), n_gt,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def greedy_match(ious: np.ndarray, thrs: np.ndarray, gt_ig: np.ndarray,
+                 iscrowd: np.ndarray):
+    """COCOeval greedy matching over IoU thresholds (pycocotools
+    evaluateImg inner loop). ious (n_dt, n_gt) with gt columns sorted
+    ignore-last. Returns (dtm int32 (T, D) 1-based, dt_ig uint8 (T, D)).
+    Pure-python fallback when the library is unavailable."""
+    n_dt, n_gt = ious.shape
+    n_thr = len(thrs)
+    lib = _load()
+    dtm = np.zeros((n_thr, n_dt), np.int32)
+    dt_ig = np.zeros((n_thr, n_dt), np.uint8)
+    if n_dt == 0 or n_gt == 0:
+        return dtm, dt_ig
+    ious = np.ascontiguousarray(ious, np.float64)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    gt_ig = np.ascontiguousarray(gt_ig, np.uint8)
+    iscrowd = np.ascontiguousarray(iscrowd, np.uint8)
+    if lib is not None:
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.greedy_match(
+            ious.ctypes.data_as(dp), n_dt, n_gt,
+            thrs.ctypes.data_as(dp), n_thr,
+            _u8p(gt_ig), _u8p(iscrowd),
+            dtm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _u8p(dt_ig))
+        return dtm, dt_ig
+    for ti, t in enumerate(thrs):
+        gtm = np.zeros(n_gt, np.int32)
+        for di in range(n_dt):
+            best = min(t, 1 - 1e-10)
+            m = -1
+            for gi in range(n_gt):
+                if gtm[gi] > 0 and not iscrowd[gi]:
+                    continue
+                if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                    break
+                if ious[di, gi] < best:
+                    continue
+                best = ious[di, gi]
+                m = gi
+            if m >= 0:
+                dtm[ti, di] = m + 1
+                dt_ig[ti, di] = gt_ig[m]
+                gtm[m] = di + 1
+    return dtm, dt_ig
 
 
 def iou_matrix(dt_rles: Sequence[dict], gt_rles: Sequence[dict],

@@ -226,4 +226,48 @@ int encode_masks(const uint8_t* masks, int n, int h, int w,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// COCO greedy matching (the COCOeval evaluateImg inner loop)
+// ---------------------------------------------------------------------------
+
+// For each IoU threshold t and each detection (score-descending order),
+// greedily pick the best still-unmatched gt (crowd gts stay matchable);
+// prefer non-ignored gts (stop scanning once only ignored remain after a
+// non-ignored match). Mirrors pycocotools' evaluateImg matching semantics.
+//
+// ious: (n_dt, n_gt) row-major, gt columns already sorted ignore-last.
+// gt_ig / iscrowd: per-gt flags. thrs: (n_thr,).
+// Outputs (row-major): dtm (n_thr, n_dt) int32 1-based gt match (0 = none),
+// dt_ig (n_thr, n_dt) uint8.
+void greedy_match(const double* ious, int n_dt, int n_gt,
+                  const double* thrs, int n_thr,
+                  const uint8_t* gt_ig, const uint8_t* iscrowd,
+                  int32_t* dtm, uint8_t* dt_ig) {
+  std::vector<int32_t> gtm(n_gt);
+  for (int ti = 0; ti < n_thr; ++ti) {
+    std::fill(gtm.begin(), gtm.end(), 0);
+    for (int di = 0; di < n_dt; ++di) {
+      double best = thrs[ti] < 1.0 - 1e-10 ? thrs[ti] : 1.0 - 1e-10;
+      int m = -1;
+      for (int gi = 0; gi < n_gt; ++gi) {
+        if (gtm[gi] > 0 && !iscrowd[gi]) continue;
+        if (m > -1 && !gt_ig[m] && gt_ig[gi]) break;
+        double v = ious[(int64_t)di * n_gt + gi];
+        if (v < best) continue;
+        best = v;
+        m = gi;
+      }
+      int64_t o = (int64_t)ti * n_dt + di;
+      if (m == -1) {
+        dtm[o] = 0;
+        dt_ig[o] = 0;
+      } else {
+        dtm[o] = m + 1;
+        dt_ig[o] = gt_ig[m];
+        gtm[m] = di + 1;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -106,3 +106,53 @@ class TestTrackIoU:
         rng = np.random.RandomState(4)
         t = [native.encode_mask(_rand_mask(rng, 12, 12)) for _ in range(4)]
         assert abs(track_iou(t, t, 12, 12) - 1.0) < 1e-9
+
+
+class TestGreedyMatch:
+    def _py_match(self, ious, thrs, gt_ig, iscrowd):
+        n_dt, n_gt = ious.shape
+        dtm = np.zeros((len(thrs), n_dt), np.int32)
+        dt_ig = np.zeros((len(thrs), n_dt), np.uint8)
+        for ti, t in enumerate(thrs):
+            gtm = np.zeros(n_gt, np.int32)
+            for di in range(n_dt):
+                best = min(t, 1 - 1e-10)
+                m = -1
+                for gi in range(n_gt):
+                    if gtm[gi] > 0 and not iscrowd[gi]:
+                        continue
+                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best = ious[di, gi]
+                    m = gi
+                if m >= 0:
+                    dtm[ti, di] = m + 1
+                    dt_ig[ti, di] = gt_ig[m]
+                    gtm[m] = di + 1
+        return dtm, dt_ig
+
+    def test_matches_python_reference(self, lib_ok):
+        rng = np.random.RandomState(7)
+        for _ in range(20):
+            n_dt, n_gt = rng.randint(1, 12, 2)
+            ious = rng.rand(n_dt, n_gt)
+            gt_ig = (rng.rand(n_gt) < 0.3).astype(np.uint8)
+            # sort gts ignore-last as the evaluator does
+            order = np.argsort(gt_ig, kind="stable")
+            gt_ig = gt_ig[order]
+            ious = ious[:, order]
+            crowd = (rng.rand(n_gt) < 0.2).astype(np.uint8)
+            thrs = np.array([0.3, 0.5, 0.75])
+            got = native.greedy_match(ious, thrs, gt_ig, crowd)
+            want = self._py_match(ious, thrs, gt_ig, crowd)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+
+    def test_empty(self):
+        dtm, dt_ig = native.greedy_match(np.zeros((0, 0)),
+                                         np.array([0.5]),
+                                         np.zeros(0, np.uint8),
+                                         np.zeros(0, np.uint8))
+        assert dtm.shape == (1, 0)
