@@ -106,9 +106,10 @@ def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
         # pads the 128-lane axis
         py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
-        bits = bits_ref[(bn * pb_n + bp) * k_n + t]
+        nw = _n_words(qt_n)
+        base = ((bn * pb_n + bp) * k_n + t) * nw
         for qt in range(qt_n):
-            @pl.when((bits >> qt) & 1 > 0)
+            @pl.when((bits_ref[base + qt // 31] >> (qt % 31)) & 1 > 0)
             def _(qt=qt):
                 q0 = qt * Q_BLK
                 j = jax.lax.broadcasted_iota(
@@ -124,10 +125,15 @@ def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
         out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _n_words(qt_n):
+    return -(-qt_n // 31)
+
+
 def _tile_bits(pyxp, h, w, n, k, pb, qt_n, q_blk):
     """Bit mask of q-tiles touched, per (n, tap, p-block), from the 4
-    clipped corner positions of each pixel. Flattened (N*PB*K,) for
-    scalar-prefetch."""
+    clipped corner positions of each pixel. Packed into 31-bit int32 words
+    (n_words per mask) and flattened (N*PB*K*n_words,) for scalar-prefetch,
+    word-major within a mask."""
     py, px = pyxp[..., 0], pyxp[..., 1]
     y0 = jnp.clip(jnp.floor(py), 0, h - 1)
     x0 = jnp.clip(jnp.floor(px), 0, w - 1)
@@ -139,8 +145,12 @@ def _tile_bits(pyxp, h, w, n, k, pb, qt_n, q_blk):
     hits = jax.vmap(
         lambda t: (t[..., None] == jnp.arange(qt_n)).any(-2),
         in_axes=2, out_axes=2)(tq)                # (N, K, PB, QT)
-    bits = (hits.astype(jnp.int32) << jnp.arange(qt_n)).sum(-1)
-    return bits.transpose(0, 2, 1).reshape(-1)
+    nw = _n_words(qt_n)
+    pad = nw * 31 - qt_n
+    hp = jnp.pad(hits, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    hp = hp.reshape(n, k, pb, nw, 31)
+    bits = (hp.astype(jnp.int32) << jnp.arange(31)).sum(-1)  # (N,K,PB,NW)
+    return bits.transpose(0, 2, 1, 3).reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -154,7 +164,6 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
     qpad = -(-q // Q_BLK) * Q_BLK
     ppad = -(-p // P_BLK) * P_BLK
     pb, qt_n = ppad // P_BLK, qpad // Q_BLK
-    assert qt_n <= 31, "bit-packed tile mask supports at most 31 Q tiles"
 
     xp = _pad_to(x_rows, qpad, 1)
     # pad positions with -2 -> every tent weight is 0 -> padded rows output 0
@@ -214,11 +223,12 @@ def _bwd_kernel(bits_ref, pyx_ref, x_ref, g_ref, dx_ref, dpyx_ref,
         py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
         g = g_ref[0, t]                          # (P_BLK, Cg)
-        bits = bits_ref[(bn * pb_n + bp) * k_n + t]
+        nw = _n_words(qt_n)
+        base = ((bn * pb_n + bp) * k_n + t) * nw
         dpyx_ref[0, :, 2 * t:2 * t + 2] = jnp.zeros_like(
             dpyx_ref[0, :, 2 * t:2 * t + 2])
         for qt in range(qt_n):
-            @pl.when((bits >> qt) & 1 > 0)
+            @pl.when((bits_ref[base + qt // 31] >> (qt % 31)) & 1 > 0)
             def _(qt=qt, py=py, px=px, g=g, t=t):
                 q0 = qt * q_blk
                 j = jax.lax.broadcasted_iota(
@@ -256,7 +266,6 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
     qpad = -(-q // Q_BLK_BWD) * Q_BLK_BWD
     ppad = -(-p // P_BLK_BWD) * P_BLK_BWD
     pb, qt_n = ppad // P_BLK_BWD, qpad // Q_BLK_BWD
-    assert qt_n <= 31, "bit-packed tile mask supports at most 31 Q tiles"
 
     xp = _pad_to(x_rows, qpad, 1)
     gp = _pad_to(g, ppad, 2)
@@ -317,9 +326,17 @@ def _fwd(x_rows, pyx, h, w):
     return sample_bilinear_rows(x_rows, pyx, h, w), (x_rows, pyx)
 
 
+# The backward kernel keeps the full dX row block resident in VMEM while
+# accumulating across p-block grid revisits; beyond this many rows it no
+# longer fits the 16MB scoped VMEM (dx f32 + x/g blocks + tile temps), so
+# larger levels route through the XLA reference VJP (correct, slower).
+# TODO(round 2): q-tiled transposed dx kernel to lift the cap.
+_BWD_MAX_Q = 8192
+
+
 def _bwd(h, w, res, g):
     x_rows, pyx = res
-    if pallas_available():
+    if pallas_available() and x_rows.shape[1] <= _BWD_MAX_Q:
         return _sample_pallas_bwd(x_rows, pyx, g, h, w)
     _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x_rows, pyx)
     return vjp(g)

@@ -203,3 +203,20 @@ class TestSSDVGG:
         # L2Norm normalizes conv4_3 channel vectors to ~|gamma|
         n = np.linalg.norm(np.asarray(outs[0][0, 0, 0])) / 20.0
         assert 0.5 < n < 2.0
+
+
+class TestBFP:
+    def test_residual_refinement_preserves_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.models.bfp import BFP
+        rng = np.random.RandomState(0)
+        feats = tuple(jnp.asarray(rng.randn(1, s, s, 16).astype(np.float32))
+                      for s in (32, 16, 8, 4, 2))
+        m = BFP(out_channels=16, refine_level=2)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
+        outs = jax.jit(m.apply)(v, feats)
+        assert [o.shape for o in outs] == [f.shape for f in feats]
+        # residual: output differs from input everywhere
+        assert all(float(jnp.abs(o - f).max()) > 0
+                   for o, f in zip(outs, feats))

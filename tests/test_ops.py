@@ -378,3 +378,23 @@ class TestPallasDeformGather:
                                    rtol=2e-2, atol=2e-2)
         np.testing.assert_allclose(np.asarray(got_dp), np.asarray(want_dp),
                                    rtol=2e-2, atol=2e-2)
+
+    def test_interpret_large_grid_multiword_bits(self):
+        """>31 Q tiles (large images) exercise the multi-word bit masks."""
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas import deform_gather as dg
+        rng = np.random.RandomState(9)
+        # shrink tiles so a small test crosses the 31-tile boundary
+        old_q, old_p = dg.Q_BLK, dg.P_BLK
+        try:
+            dg.Q_BLK, dg.P_BLK = 8, 16
+            n, h, w, cg, k, p = 1, 20, 16, 8, 2, 40   # 320 q -> 40 tiles
+            x = jnp.asarray(rng.randn(n, h * w, cg).astype(np.float32))
+            pyx = jnp.asarray(
+                rng.rand(n, k, p, 2).astype(np.float32) * 22 - 1)
+            want = dg.sample_ref(x, pyx, h, w)
+            got = dg._sample_pallas(x, pyx, h, w, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-2, atol=2e-2)
+        finally:
+            dg.Q_BLK, dg.P_BLK = old_q, old_p
