@@ -139,17 +139,19 @@ def _tile_bits(pyxp, h, w, n, k, pb, qt_n, q_blk):
     x0 = jnp.clip(jnp.floor(px), 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
-    qs = jnp.stack([y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1],
-                   -1).astype(jnp.int32)          # (N, K, Ppad, 4)
-    tq = (qs // q_blk).reshape(n, k, pb, -1)
-    hits = jax.vmap(
-        lambda t: (t[..., None] == jnp.arange(qt_n)).any(-2),
-        in_axes=2, out_axes=2)(tq)                # (N, K, PB, QT)
+    # the touched tiles form a contiguous range (corner q values span
+    # [y0*w+x0, y1*w+x1] which is contiguous in flattened order), so a
+    # min/max reduction replaces the one-hot membership test
+    q_lo = (y0 * w + x0).astype(jnp.int32)        # (N, K, Ppad)
+    q_hi = (y1 * w + x1).astype(jnp.int32)
+    t_lo = (q_lo // q_blk).reshape(n, k, pb, -1).min(-1)   # (N, K, PB)
+    t_hi = (q_hi // q_blk).reshape(n, k, pb, -1).max(-1)
     nw = _n_words(qt_n)
-    pad = nw * 31 - qt_n
-    hp = jnp.pad(hits, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    hp = hp.reshape(n, k, pb, nw, 31)
-    bits = (hp.astype(jnp.int32) << jnp.arange(31)).sum(-1)  # (N,K,PB,NW)
+    w0 = jnp.arange(nw) * 31                       # word base tile index
+    lo = jnp.clip(t_lo[..., None] - w0, 0, 31)     # (N, K, PB, NW)
+    hi = jnp.clip(t_hi[..., None] + 1 - w0, 0, 31)
+    ones = jnp.int32(1)
+    bits = (ones << hi) - (ones << lo)             # range mask per word
     return bits.transpose(0, 2, 1, 3).reshape(-1)
 
 
@@ -247,9 +249,20 @@ def _bwd_kernel(bits_ref, pyx_ref, x_ref, g_ref, dx_ref, dpyx_ref,
                 ).astype(dx_ref.dtype)
                 m = jnp.dot(g.astype(x_ref.dtype), xt.T,
                             preferred_element_type=jnp.float32)
-                # d tent(qy - py)/d py = -tent'(u) = +sign(u) on |u| < 1
-                dty = jnp.where(jnp.abs(uy) < 1.0, jnp.sign(uy), 0.0)
-                dtx = jnp.where(jnp.abs(ux) < 1.0, jnp.sign(ux), 0.0)
+                # d tent(qy - py)/d py: -1 on (-1, 0], +1 on (0, 1], 0
+                # outside — the one-sided choice of the floor-based bilinear
+                # formula (CUDA get_coordinate_weight / autodiff of
+                # sample_ref). Using sign(u) with sign(0)=0 instead would
+                # zero ALL offset gradients at exactly-integer sampling
+                # positions — which is every position at zero-offset init,
+                # freezing the offset convs forever.
+                def dtent(u):
+                    inside = (u > -1.0) & (u <= 1.0)
+                    return jnp.where(inside,
+                                     jnp.where(u > 0.0, 1.0, -1.0), 0.0)
+
+                dty = dtent(uy)
+                dtx = dtent(ux)
                 dpyx_ref[0, :, 2 * t:2 * t + 1] += (
                     dty * tx * m).sum(1, keepdims=True)
                 dpyx_ref[0, :, 2 * t + 1:2 * t + 2] += (

@@ -367,9 +367,12 @@ class TestPallasDeformGather:
         rng = np.random.RandomState(5)
         n, h, w, cg, k, p = 2, 9, 11, 8, 2, 60
         x = jnp.asarray(rng.randn(n, h * w, cg).astype(np.float32))
-        # avoid exact-integer positions (subgradient convention differs)
-        pyx = jnp.asarray(
+        pyx = np.asarray(
             rng.rand(n, k, p, 2).astype(np.float32) * 13 - 1.3) + 0.21
+        # include exact-integer positions: the zero-offset init case where
+        # the one-sided subgradient must match the floor-based reference
+        pyx[:, :, :20] = np.round(pyx[:, :, :20])
+        pyx = jnp.asarray(pyx)
         g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
         _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x, pyx)
         want_dx, want_dp = vjp(g)
