@@ -18,19 +18,28 @@ grid point (qy, qx),
 which is exactly the bilinear corner weight (and exactly 0 for every grid
 point that is not one of the 4 corners, including all out-of-bounds
 corners). This needs only the raw sampling positions — no corner indices or
-precomputed weights — so the kernel streams 2 floats per (tap, pixel)
-instead of 8.
+precomputed weights — so the kernel streams 2 floats per (tap, pixel).
 
-The Q contraction is tiled with a data-dependent skip: a tile's
-(tent-build + matmul) only runs when some pixel in the P-block samples from
-it (bit-mask per (n, tap, p-block), scalar-prefetched). For typical
-deformable offsets each P-block touches 2-4 of ~10 tiles, so the dense
-one-hot cost collapses to a band around the diagonal while remaining EXACT
-for arbitrarily large offsets.
+The Q contraction is tiled with a data-dependent skip: the q-tiles a
+P-block samples from always form a contiguous range (corner positions span
+[y0*w+x0, y1*w+x1], contiguous in flattened row-major order), so each
+(n, p-block, tap) carries a scalar-prefetched [lo, hi] tile range and a
+tile's (tent-build + matmul) only runs inside it. For typical deformable
+offsets that is 2-4 of tens of tiles, collapsing the dense one-hot cost to
+a band around the diagonal while remaining EXACT for arbitrarily large
+offsets.
 
-Gradients route through the XLA reference formulation via
-``jax.custom_vjp`` (offset gradients flow through the tent weights; the
-hand-written CUDA scatter-add backward falls out of autodiff).
+The backward is two kernels sharing the banded tiling:
+- position gradients, gridded like the forward over (n, p-block):
+    d py[p] = sum_q tent'(qy-py) * tx * M[p, q],  M = g @ X^T  (MXU)
+- dX, gridded transposed over (n, q-tile, p-block) so only one q-tile of
+  dX is VMEM-resident (no whole-level residency -> no size cap):
+    dX[q, :] += sum_p S[p, q] * g[p, :]           (S^T @ g on the MXU)
+
+tent'(u) is the one-sided floor-based derivative (-1 on (-1,0], +1 on
+(0,1]): using sign(u) with sign(0)=0 would zero ALL offset gradients at
+exactly-integer sampling positions — every position at zero-offset init —
+freezing the offset convs forever.
 """
 
 from __future__ import annotations
@@ -41,9 +50,7 @@ import jax
 import jax.numpy as jnp
 
 P_BLK = 512
-Q_BLK = 512       # forward tile sizes
-P_BLK_BWD = 256
-Q_BLK_BWD = 256   # narrower backward tiles (more live temps per tile)
+Q_BLK = 512
 
 
 def pallas_available() -> bool:
@@ -69,7 +76,7 @@ def sample_ref(x_rows, pyx, h, w):
     x_rows: (N, Q=h*w, Cg); pyx: (N, K, P, 2) float (py, px).
     Out-of-bounds corners contribute 0 (CUDA ``deformable_im2col_bilinear``
     semantics). Differentiable in x_rows and pyx; used for the CPU fallback,
-    parity tests, and the Pallas backward pass.
+    parity tests, and gradient cross-checks.
     """
     py, px = pyx[..., 0], pyx[..., 1]
     y0 = jnp.floor(py)
@@ -94,65 +101,86 @@ def sample_ref(x_rows, pyx, h, w):
     return out
 
 
-def _kernel(bits_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
-            qt_n, k_n, pb_n, w):
-    import jax.experimental.pallas as pl
-
-    bn, bp = pl.program_id(0), pl.program_id(1)
-    inv_w = 1.0 / w
-    for t in range(k_n):
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        # positions packed (P_BLK, K*2) so the tiny trailing dim never
-        # pads the 128-lane axis
-        py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
-        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
-        nw = _n_words(qt_n)
-        base = ((bn * pb_n + bp) * k_n + t) * nw
-        for qt in range(qt_n):
-            @pl.when((bits_ref[base + qt // 31] >> (qt % 31)) & 1 > 0)
-            def _(qt=qt):
-                q0 = qt * Q_BLK
-                j = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, Q_BLK), 1).astype(jnp.float32) + float(q0)
-                qy = jnp.floor(j * inv_w)
-                qx = j - qy * w
-                ty = jnp.maximum(0.0, 1.0 - jnp.abs(qy - py))  # (P_BLK, QB)
-                tx = jnp.maximum(0.0, 1.0 - jnp.abs(qx - px))
-                s = (ty * tx).astype(x_ref.dtype)
-                acc_ref[...] += jnp.dot(
-                    s, x_ref[0, q0:q0 + Q_BLK, :],
-                    preferred_element_type=jnp.float32)
-        out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
-
-
-def _n_words(qt_n):
-    return -(-qt_n // 31)
-
-
-def _tile_bits(pyxp, h, w, n, k, pb, qt_n, q_blk):
-    """Bit mask of q-tiles touched, per (n, tap, p-block), from the 4
-    clipped corner positions of each pixel. Packed into 31-bit int32 words
-    (n_words per mask) and flattened (N*PB*K*n_words,) for scalar-prefetch,
-    word-major within a mask."""
+def _tile_ranges(pyxp, h, w, n, k, pb, q_blk):
+    """Contiguous [lo, hi] q-tile range per (n, p-block, tap), interleaved
+    into a flat (N*PB*K*2,) int32 array for scalar-prefetch."""
     py, px = pyxp[..., 0], pyxp[..., 1]
     y0 = jnp.clip(jnp.floor(py), 0, h - 1)
     x0 = jnp.clip(jnp.floor(px), 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
-    # the touched tiles form a contiguous range (corner q values span
-    # [y0*w+x0, y1*w+x1] which is contiguous in flattened order), so a
-    # min/max reduction replaces the one-hot membership test
-    q_lo = (y0 * w + x0).astype(jnp.int32)        # (N, K, Ppad)
+    q_lo = (y0 * w + x0).astype(jnp.int32)
     q_hi = (y1 * w + x1).astype(jnp.int32)
     t_lo = (q_lo // q_blk).reshape(n, k, pb, -1).min(-1)   # (N, K, PB)
     t_hi = (q_hi // q_blk).reshape(n, k, pb, -1).max(-1)
-    nw = _n_words(qt_n)
-    w0 = jnp.arange(nw) * 31                       # word base tile index
-    lo = jnp.clip(t_lo[..., None] - w0, 0, 31)     # (N, K, PB, NW)
-    hi = jnp.clip(t_hi[..., None] + 1 - w0, 0, 31)
-    ones = jnp.int32(1)
-    bits = (ones << hi) - (ones << lo)             # range mask per word
-    return bits.transpose(0, 2, 1, 3).reshape(-1)
+    rng = jnp.stack([t_lo, t_hi], -1)                      # (N, K, PB, 2)
+    return rng.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def _tent(u):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def _dtent(u):
+    """One-sided floor-based derivative of tent(q - p) w.r.t. p."""
+    inside = (u > -1.0) & (u <= 1.0)
+    return jnp.where(inside, jnp.where(u > 0.0, 1.0, -1.0), 0.0)
+
+
+def _grid_coords(q0, q_blk, w):
+    # q0 may be a traced scalar (dx kernel indexes tiles by program_id)
+    j = (jax.lax.broadcasted_iota(jnp.int32, (1, q_blk), 1) +
+         q0).astype(jnp.float32)
+    qy = jnp.floor(j * (1.0 / w))
+    qx = j - qy * w
+    return qy, qx
+
+
+def _pack_pyx(pyxp, n, ppad, k):
+    """(N, K, Ppad, 2) -> (N, Ppad, 2K): the tiny trailing dim must never
+    pad the 128-lane axis."""
+    return pyxp.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(
+        n, ppad, 2 * k)
+
+
+def _prep(x_rows, pyx, g=None):
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    qpad = -(-q // Q_BLK) * Q_BLK
+    ppad = -(-p // P_BLK) * P_BLK
+    xp = _pad_to(x_rows, qpad, 1)
+    pyxp = _pad_to(pyx, ppad, 2)
+    if ppad != p:
+        # padded positions at -2 -> every tent weight is exactly 0
+        mask = (jnp.arange(ppad) < p)[None, None, :, None]
+        pyxp = jnp.where(mask, pyxp, -2.0)
+    gp = _pad_to(g, ppad, 2) if g is not None else None
+    return xp, pyxp, gp, (n, q, cg, k, p, qpad, ppad)
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_kernel(rng_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
+                qt_n, k_n, pb_n, w):
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    for t in range(k_n):
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
+        for qt in range(qt_n):
+            @pl.when((qt >= lo) & (qt <= hi))
+            def _(qt=qt):
+                q0 = qt * Q_BLK
+                qy, qx = _grid_coords(q0, Q_BLK, w)
+                s = (_tent(qy - py) * _tent(qx - px)).astype(x_ref.dtype)
+                acc_ref[...] += jnp.dot(
+                    s, x_ref[0, q0:q0 + Q_BLK, :],
+                    preferred_element_type=jnp.float32)
+        out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -160,20 +188,9 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, q, cg = x_rows.shape
-    _, k, p, _ = pyx.shape
-    assert q == h * w, (q, h, w)
-    qpad = -(-q // Q_BLK) * Q_BLK
-    ppad = -(-p // P_BLK) * P_BLK
+    xp, pyxp, _, (n, q, cg, k, p, qpad, ppad) = _prep(x_rows, pyx)
     pb, qt_n = ppad // P_BLK, qpad // Q_BLK
-
-    xp = _pad_to(x_rows, qpad, 1)
-    # pad positions with -2 -> every tent weight is 0 -> padded rows output 0
-    pyxp = _pad_to(pyx, ppad, 2)
-    if ppad != p:
-        mask = (jnp.arange(ppad) < p)[None, None, :, None]
-        pyxp = jnp.where(mask, pyxp, -2.0)
-    bits = _tile_bits(pyxp, h, w, n, k, pb, qt_n, Q_BLK)
+    ranges = _tile_ranges(pyxp, h, w, n, k, pb, Q_BLK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -186,87 +203,69 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
                                lambda bn, bp, *_: (bn, 0, bp, 0)),
         scratch_shapes=[pltpu.VMEM((P_BLK, cg), jnp.float32)],
     )
-    pyx_packed = pyxp.astype(jnp.float32).transpose(0, 2, 1, 3)
-    pyx_packed = pyx_packed.reshape(n, ppad, 2 * k)
     out = pl.pallas_call(
-        functools.partial(_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
+        functools.partial(_fwd_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
         out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bits, pyx_packed, xp)
+    )(ranges, _pack_pyx(pyxp, n, ppad, k), xp)
     return out[:, :, :p, :]
 
 
-def _bwd_kernel(bits_ref, pyx_ref, x_ref, g_ref, dx_ref, dpyx_ref,
-                *, qt_n, k_n, pb_n, w, q_blk):
-    """Backward of the tent sampling, same banded tiling as the forward:
+# -------------------------------------------------------------- backward
 
-      dX[q, :]  += sum_p S[p, q] * g[p, :]            (S^T @ g on the MXU)
-      d py[p]    = sum_q  tent'(qy-py) * tx * M[p, q]
-      d px[p]    = sum_q  ty * tent'(qx-px) * M[p, q]
-      M[p, q]    = g[p, :] . X[q, :]                   (g @ X^T on the MXU)
-
-    with tent'(u) = -sign(u) on |u| < 1 (zero outside and at u = 0; exact
-    integer positions are a measure-zero subgradient choice).
-
-    dX accumulates across the p-block grid dimension (the dx block revisits
-    with bp, which Pallas runs sequentially).
-    """
+def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
+                     qt_n, k_n, pb_n, w):
     import jax.experimental.pallas as pl
 
     bn, bp = pl.program_id(0), pl.program_id(1)
-    inv_w = 1.0 / w
+    for t in range(k_n):
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        g = g_ref[0, t]                          # (P_BLK, Cg)
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
+        dpyx_ref[0, :, 2 * t:2 * t + 2] = jnp.zeros_like(
+            dpyx_ref[0, :, 2 * t:2 * t + 2])
+        for qt in range(qt_n):
+            @pl.when((qt >= lo) & (qt <= hi))
+            def _(qt=qt, py=py, px=px, g=g, t=t):
+                q0 = qt * Q_BLK
+                qy, qx = _grid_coords(q0, Q_BLK, w)
+                uy, ux = qy - py, qx - px
+                m = jnp.dot(g, x_ref[0, q0:q0 + Q_BLK, :].T,
+                            preferred_element_type=jnp.float32)
+                dpyx_ref[0, :, 2 * t:2 * t + 1] += (
+                    _dtent(uy) * _tent(ux) * m).sum(1, keepdims=True)
+                dpyx_ref[0, :, 2 * t + 1:2 * t + 2] += (
+                    _tent(uy) * _dtent(ux) * m).sum(1, keepdims=True)
+
+
+def _bwd_dx_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *, k_n, pb_n, w):
+    """Transposed accumulation: grid (n, q-tile, p-block); the dx block for
+    the current q-tile revisits across p-blocks (sequential grid), so only
+    one q-tile of dX is ever VMEM-resident."""
+    import jax.experimental.pallas as pl
+
+    bn, bq, bp = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(bp == 0)
     def _():
         dx_ref[...] = jnp.zeros_like(dx_ref)
 
     for t in range(k_n):
-        py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
-        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
-        g = g_ref[0, t]                          # (P_BLK, Cg)
-        nw = _n_words(qt_n)
-        base = ((bn * pb_n + bp) * k_n + t) * nw
-        dpyx_ref[0, :, 2 * t:2 * t + 2] = jnp.zeros_like(
-            dpyx_ref[0, :, 2 * t:2 * t + 2])
-        for qt in range(qt_n):
-            @pl.when((bits_ref[base + qt // 31] >> (qt % 31)) & 1 > 0)
-            def _(qt=qt, py=py, px=px, g=g, t=t):
-                q0 = qt * q_blk
-                j = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, q_blk), 1).astype(jnp.float32) + float(q0)
-                qy = jnp.floor(j * inv_w)
-                qx = j - qy * w
-                uy = qy - py
-                ux = qx - px
-                ty = jnp.maximum(0.0, 1.0 - jnp.abs(uy))   # (P_BLK, QB)
-                tx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
-                s = (ty * tx).astype(x_ref.dtype)
-                xt = x_ref[0, q0:q0 + q_blk, :]
-                dx_ref[0, q0:q0 + q_blk, :] += jnp.dot(
-                    s.T, g.astype(x_ref.dtype),
-                    preferred_element_type=jnp.float32
-                ).astype(dx_ref.dtype)
-                m = jnp.dot(g.astype(x_ref.dtype), xt.T,
-                            preferred_element_type=jnp.float32)
-                # d tent(qy - py)/d py: -1 on (-1, 0], +1 on (0, 1], 0
-                # outside — the one-sided choice of the floor-based bilinear
-                # formula (CUDA get_coordinate_weight / autodiff of
-                # sample_ref). Using sign(u) with sign(0)=0 instead would
-                # zero ALL offset gradients at exactly-integer sampling
-                # positions — which is every position at zero-offset init,
-                # freezing the offset convs forever.
-                def dtent(u):
-                    inside = (u > -1.0) & (u <= 1.0)
-                    return jnp.where(inside,
-                                     jnp.where(u > 0.0, 1.0, -1.0), 0.0)
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
 
-                dty = dtent(uy)
-                dtx = dtent(ux)
-                dpyx_ref[0, :, 2 * t:2 * t + 1] += (
-                    dty * tx * m).sum(1, keepdims=True)
-                dpyx_ref[0, :, 2 * t + 1:2 * t + 2] += (
-                    ty * dtx * m).sum(1, keepdims=True)
+        @pl.when((bq >= lo) & (bq <= hi))
+        def _(t=t):
+            py = pyx_ref[0, :, 2 * t:2 * t + 1]
+            px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+            qy, qx = _grid_coords(bq * Q_BLK, Q_BLK, w)
+            s = (_tent(qy - py) * _tent(qx - px)).astype(g_ref.dtype)
+            dx_ref[0] += jnp.dot(
+                s.T, g_ref[0, t], preferred_element_type=jnp.float32
+            ).astype(dx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -274,49 +273,49 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, q, cg = x_rows.shape
-    _, k, p, _ = pyx.shape
-    qpad = -(-q // Q_BLK_BWD) * Q_BLK_BWD
-    ppad = -(-p // P_BLK_BWD) * P_BLK_BWD
-    pb, qt_n = ppad // P_BLK_BWD, qpad // Q_BLK_BWD
+    xp, pyxp, gp, (n, q, cg, k, p, qpad, ppad) = _prep(x_rows, pyx, g)
+    pb, qt_n = ppad // P_BLK, qpad // Q_BLK
+    ranges = _tile_ranges(pyxp, h, w, n, k, pb, Q_BLK)
+    pyx_packed = _pack_pyx(pyxp, n, ppad, k)
+    gp = gp.astype(x_rows.dtype)
 
-    xp = _pad_to(x_rows, qpad, 1)
-    gp = _pad_to(g, ppad, 2)
-    pyxp = _pad_to(pyx, ppad, 2)
-    if ppad != p:
-        mask = (jnp.arange(ppad) < p)[None, None, :, None]
-        pyxp = jnp.where(mask, pyxp, -2.0)
-    bits = _tile_bits(pyxp, h, w, n, k, pb, qt_n, Q_BLK_BWD)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
+    dpyx_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, pb),
         in_specs=[
-            pl.BlockSpec((1, P_BLK_BWD, 2 * k),
-                         lambda bn, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
             pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
-            pl.BlockSpec((1, k, P_BLK_BWD, cg),
-                         lambda bn, bp, *_: (bn, 0, bp, 0)),
+            pl.BlockSpec((1, k, P_BLK, cg), lambda bn, bp, *_: (bn, 0, bp, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
-            pl.BlockSpec((1, P_BLK_BWD, 2 * k),
-                         lambda bn, bp, *_: (bn, bp, 0)),
-        ),
+        out_specs=pl.BlockSpec((1, P_BLK, 2 * k),
+                               lambda bn, bp, *_: (bn, bp, 0)),
     )
-    pyx_packed = pyxp.astype(jnp.float32).transpose(0, 2, 1, 3)
-    pyx_packed = pyx_packed.reshape(n, ppad, 2 * k)
-    dx, dpyx = pl.pallas_call(
-        functools.partial(_bwd_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w,
-                          q_blk=Q_BLK_BWD),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
-            jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
-        ),
-        grid_spec=grid_spec,
+    dpyx = pl.pallas_call(
+        functools.partial(_bwd_dpyx_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
+        grid_spec=dpyx_spec,
         interpret=interpret,
-    )(bits, pyx_packed, xp, gp.astype(x_rows.dtype))
+    )(ranges, pyx_packed, xp, gp)
     dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
+
+    dx_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, qt_n, pb),
+        in_specs=[
+            pl.BlockSpec((1, P_BLK, 2 * k),
+                         lambda bn, bq, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, k, P_BLK, cg),
+                         lambda bn, bq, bp, *_: (bn, 0, bp, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Q_BLK, cg),
+                               lambda bn, bq, bp, *_: (bn, bq, 0)),
+    )
+    dx = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, k_n=k, pb_n=pb, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
+        grid_spec=dx_spec,
+        interpret=interpret,
+    )(ranges, pyx_packed, gp)
     return dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :]
 
 
@@ -339,17 +338,9 @@ def _fwd(x_rows, pyx, h, w):
     return sample_bilinear_rows(x_rows, pyx, h, w), (x_rows, pyx)
 
 
-# The backward kernel keeps the full dX row block resident in VMEM while
-# accumulating across p-block grid revisits; beyond this many rows it no
-# longer fits the 16MB scoped VMEM (dx f32 + x/g blocks + tile temps), so
-# larger levels route through the XLA reference VJP (correct, slower).
-# TODO(round 2): q-tiled transposed dx kernel to lift the cap.
-_BWD_MAX_Q = 8192
-
-
 def _bwd(h, w, res, g):
     x_rows, pyx = res
-    if pallas_available() and x_rows.shape[1] <= _BWD_MAX_Q:
+    if pallas_available():
         return _sample_pallas_bwd(x_rows, pyx, g, h, w)
     _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x_rows, pyx)
     return vjp(g)
