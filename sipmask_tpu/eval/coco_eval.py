@@ -24,7 +24,6 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .. import native
-from .rle import decode_mask
 
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 REC_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)

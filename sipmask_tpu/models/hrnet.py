@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, conv_init, resize_bilinear, max_pool
+from .layers import FrozenBatchNorm, conv_init, resize_bilinear
 from .resnet import Bottleneck
 
 HRNET_WIDTHS = {18: (18, 36, 72, 144), 32: (32, 64, 128, 256),

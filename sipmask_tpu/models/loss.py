@@ -30,7 +30,7 @@ from ..core import losses as L
 from ..core.boxes import bbox_overlaps, distance2bbox, center_size
 from ..core.points import all_points
 from ..core.targets import fcos_targets, centerness_target
-from ..ops.crop_split import mask_bce_loss, assemble_masks, box_crop_mask
+from ..ops.crop_split import mask_bce_loss, assemble_masks
 
 
 def flatten_outputs(outputs):

@@ -14,8 +14,6 @@ followed by a global score sort — the reference's semantics.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
