@@ -220,3 +220,30 @@ class TestBFP:
         # residual: output differs from input everywhere
         assert all(float(jnp.abs(o - f).max()) > 0
                    for o, f in zip(outs, feats))
+
+
+class TestConfigSmoke:
+    def test_every_preset_builds_and_is_consistent(self):
+        """mmdet test_config.py analog: every named preset constructs and
+        its fields are mutually consistent."""
+        from sipmask_tpu.config import get_config, list_configs
+        from sipmask_tpu.models import build_model
+        for name in list_configs():
+            cfg = get_config(name)
+            assert cfg.name == name
+            assert len(cfg.model.head.strides) == cfg.model.fpn.num_outs
+            assert len(cfg.model.head.regress_ranges) == \
+                len(cfg.model.head.strides)
+            if cfg.model.head.ssd_flag:
+                assert cfg.model.test.use_fast_nms
+            if cfg.model.head.track:
+                assert cfg.model.test.use_fast_nms
+            build_model(cfg.model)  # module construction (no init)
+
+    def test_unknown_preset_raises_with_known_list(self):
+        from sipmask_tpu.config import get_config
+        try:
+            get_config("nope")
+            assert False
+        except KeyError as e:
+            assert "sipmask_r50_fpn_gn_1x" in str(e)
