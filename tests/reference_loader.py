@@ -1,0 +1,332 @@
+"""Load the reference's pure-PyTorch modules from /root/reference so tests
+can use the reference's OWN code as numerical oracles (VERDICT.md round-1
+item 2: all prior parity evidence was self-authored).
+
+The reference imports mmcv, pycocotools and its compiled CUDA extensions at
+module import time; none of those are installed. This loader installs minimal
+stub packages in sys.modules for everything that is *plumbing* (registries,
+init helpers, ConvModule) and faithful pure-torch transcriptions for the two
+compiled kernels the loss path actually executes (CropSplit / CropSplitGt —
+transcribed from mmdet/ops/crop/src/crop_split_cuda_kernel.cu:18-57 — and the
+hard NMS from mmdet/ops/nms/src/nms_cpu.cpp:10-65 with its +1 IoU
+convention). Everything semantic — fcos_target, the loss arithmetic,
+fast_nms, multiclass_nms_idx, distance2bbox, bbox_overlaps, the loss
+modules — is the reference's own source, loaded from /root/reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+
+REF_MMDET = "/root/reference/SipMask-mmdetection"
+REF_VIS = "/root/reference/SipMask-VIS"
+
+_cache: dict = {}
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REF_MMDET)
+
+
+def _stub_module(name, is_pkg=False, **attrs):
+    m = types.ModuleType(name)
+    if is_pkg:
+        m.__path__ = []
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _load_file(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_torch_stubs():
+    """Install mmcv / pycocotools / mmdet scaffolding stubs in sys.modules."""
+    import torch
+    import torch.nn as nn
+
+    # --- mmcv (only init helpers are used by the code paths under test)
+    def normal_init(module, mean=0, std=1, bias=0):
+        nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        nn.init.constant_(module.weight, val)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def kaiming_init(module, **kw):
+        nn.init.kaiming_normal_(module.weight)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    def xavier_init(module, **kw):
+        nn.init.xavier_normal_(module.weight)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    mmcv = _stub_module("mmcv", is_pkg=True)
+    _stub_module("mmcv.cnn", normal_init=normal_init,
+                 constant_init=constant_init, kaiming_init=kaiming_init,
+                 xavier_init=xavier_init)
+    mmcv.cnn = sys.modules["mmcv.cnn"]
+
+    # --- pycocotools.mask (only reached in get_bboxes RLE loop; unused here)
+    pyco = _stub_module("pycocotools", is_pkg=True)
+    _stub_module("pycocotools.mask",
+                 encode=lambda a: [{"counts": b"", "size": list(a.shape[:2])}])
+    pyco.mask = sys.modules["pycocotools.mask"]
+
+
+def _pure_torch_nms(dets, iou_thr, device_id=None):
+    """Transcription of nms_cpu.cpp:10-65 (the +1 IoU convention).
+
+    Returns (dets[keep], keep) with keep indexing the input rows, exactly as
+    mmdet/ops/nms/nms_wrapper.py:7-60 does for CPU tensors.
+    """
+    import torch
+    boxes, scores = dets[:, :4], dets[:, 4]
+    x1, y1, x2, y2 = boxes.unbind(1)
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort(descending=True)
+    suppressed = torch.zeros(dets.shape[0], dtype=torch.bool)
+    keep = []
+    for oi in range(order.numel()):
+        i = order[oi].item()
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = torch.maximum(x1[i], x1)
+        yy1 = torch.maximum(y1[i], y1)
+        xx2 = torch.minimum(x2[i], x2)
+        yy2 = torch.minimum(y2[i], y2)
+        w = (xx2 - xx1 + 1).clamp(min=0)
+        h = (yy2 - yy1 + 1).clamp(min=0)
+        inter = w * h
+        ovr = inter / (areas[i] + areas - inter)
+        suppressed |= ovr > iou_thr
+    keep = torch.as_tensor(keep, dtype=torch.long)
+    return dets[keep], keep
+
+
+def _make_mmdet_stubs():
+    """Builds the fake mmdet package tree and loads the reference's own
+    pure-torch modules into it."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    mmdet = _stub_module("mmdet", is_pkg=True)
+
+    # ---- mmdet.ops: stubs for compiled extensions + tiny plumbing modules
+    class Scale(nn.Module):
+        def __init__(self, scale=1.0):
+            super().__init__()
+            self.scale = nn.Parameter(torch.tensor(scale, dtype=torch.float))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class ConvModule(nn.Module):
+        """Plumbing stub (conv [+GN] +ReLU) — the real one adds cfg wiring."""
+
+        def __init__(self, in_ch, out_ch, k, stride=1, padding=0,
+                     conv_cfg=None, norm_cfg=None, bias="auto", **kw):
+            super().__init__()
+            if bias == "auto":
+                bias = norm_cfg is None
+            self.conv = nn.Conv2d(in_ch, out_ch, k, stride=stride,
+                                  padding=padding, bias=bool(bias))
+            self.norm = (nn.GroupNorm(norm_cfg.get("num_groups", 32), out_ch)
+                         if norm_cfg else None)
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.norm is not None:
+                x = self.norm(x)
+            return F.relu(x)
+
+    class DeformConv(nn.Module):
+        """Construction-only stub: loss/target paths never call forward."""
+
+        def __init__(self, in_ch, out_ch, k=3, padding=1, deformable_groups=1,
+                     **kw):
+            super().__init__()
+            self.weight = nn.Parameter(torch.zeros(out_ch, in_ch, k, k))
+            self.bias = None
+
+        def forward(self, x, offset):  # pragma: no cover
+            raise NotImplementedError("DeformConv stub has no forward")
+
+    class CropSplit(nn.Module):
+        """Pure-torch transcription of crop_split_cuda_kernel.cu:18-57:
+        no clamping; plane = idx_h*2+idx_w with half sizes (x2-x1+0.1)/2."""
+
+        def __init__(self, c=2):
+            super().__init__()
+            assert c == 2
+
+        def forward(self, data, rois):
+            h, w, n = data.shape[1:]
+            pw = torch.arange(w, dtype=rois.dtype).view(1, -1, 1)
+            ph = torch.arange(h, dtype=rois.dtype).view(-1, 1, 1)
+            x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+            in_box = (pw >= x1) & (ph >= y1) & (pw < x2) & (ph < y2)
+            right = pw >= x1 + (x2 - x1 + 0.1) / 2
+            bottom = ph >= y1 + (y2 - y1 + 0.1) / 2
+            quads = [~right & ~bottom, right & ~bottom,
+                     ~right & bottom, right & bottom]
+            out = data.new_zeros(h, w, n)
+            for plane, q in enumerate(quads):
+                out = out + data[plane] * (q & in_box).to(data.dtype)
+            return out
+
+    class CropSplitGt(nn.Module):
+        """crop_split_gt_cuda_kernel.cu: zero outside the box, no quadrants."""
+
+        def __init__(self, c=2):
+            super().__init__()
+
+        def forward(self, data, rois):
+            h, w, n = data.shape
+            pw = torch.arange(w, dtype=rois.dtype).view(1, -1, 1)
+            ph = torch.arange(h, dtype=rois.dtype).view(-1, 1, 1)
+            x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
+            in_box = (pw >= x1) & (ph >= y1) & (pw < x2) & (ph < y2)
+            return data * in_box.to(data.dtype)
+
+    def sigmoid_focal_loss(pred, target, gamma, alpha):
+        """Per-element focal loss of the CUDA op (sigmoid_focal_loss_cuda.cu):
+        target is int 0..C (0 = background), output (n, C) elementwise."""
+        nc = pred.size(1)
+        t = F.one_hot(target.clamp(min=0).long(), nc + 1)[:, 1:].type_as(pred)
+        p = pred.sigmoid()
+        pt = (1 - p) * t + p * (1 - t)
+        fw = (alpha * t + (1 - alpha) * (1 - t)) * pt.pow(gamma)
+        return F.binary_cross_entropy_with_logits(
+            pred, t, reduction="none") * fw
+
+    ops = _stub_module(
+        "mmdet.ops", is_pkg=True, Scale=Scale, ConvModule=ConvModule,
+        DeformConv=DeformConv, ModulatedDeformConv=DeformConv,
+        CropSplit=CropSplit, CropSplitGt=CropSplitGt,
+        sigmoid_focal_loss=sigmoid_focal_loss)
+    nms_wrapper = _stub_module("mmdet.ops.nms.nms_wrapper",
+                               nms=_pure_torch_nms)
+    _stub_module("mmdet.ops.nms", nms_wrapper=nms_wrapper,
+                 nms=_pure_torch_nms)
+    ops.nms = sys.modules["mmdet.ops.nms"]
+    mmdet.ops = ops
+
+    # ---- mmdet.core: the reference's own geometry/transforms + helpers
+    geometry = _load_file("mmdet.core._geometry",
+                          f"{REF_MMDET}/mmdet/core/bbox/geometry.py")
+    transforms = _load_file("mmdet.core._transforms",
+                            f"{REF_MMDET}/mmdet/core/bbox/transforms.py")
+
+    def multi_apply(func, *args, **kwargs):
+        pfunc = functools.partial(func, **kwargs) if kwargs else func
+        return tuple(map(list, zip(*map(pfunc, *args))))
+
+    def force_fp32(*dargs, **dkw):
+        def wrap(fn):
+            return fn
+        return wrap
+
+    core = _stub_module(
+        "mmdet.core", is_pkg=True,
+        bbox_overlaps=geometry.bbox_overlaps,
+        distance2bbox=transforms.distance2bbox,
+        bbox2result=getattr(transforms, "bbox2result", None),
+        multi_apply=multi_apply, force_fp32=force_fp32)
+    mmdet.core = core
+
+    # ---- mmdet.models: registry plumbing + the reference's loss modules
+    class _Registry:
+        def __init__(self):
+            self.module_dict = {}
+
+        def register_module(self, cls):
+            self.module_dict[cls.__name__] = cls
+            return cls
+
+    LOSSES, HEADS = _Registry(), _Registry()
+    models = _stub_module("mmdet.models", is_pkg=True)
+    _stub_module("mmdet.models.registry", LOSSES=LOSSES, HEADS=HEADS)
+
+    def bias_init_with_prob(prior_prob):
+        return float(-np.log((1 - prior_prob) / prior_prob))
+
+    _stub_module("mmdet.models.utils", bias_init_with_prob=bias_init_with_prob)
+    _stub_module("mmdet.models.losses", is_pkg=True)
+    _load_file("mmdet.models.losses.utils",
+               f"{REF_MMDET}/mmdet/models/losses/utils.py")
+    for name in ["focal_loss", "iou_loss", "cross_entropy_loss", "mse_loss"]:
+        _load_file(f"mmdet.models.losses.{name}",
+                   f"{REF_MMDET}/mmdet/models/losses/{name}.py")
+
+    def build_loss(cfg):
+        cfg = dict(cfg)
+        return LOSSES.module_dict[cfg.pop("type")](**cfg)
+
+    _stub_module("mmdet.models.builder", build_loss=build_loss)
+    _stub_module("mmdet.models.anchor_heads", is_pkg=True)
+
+    # ---- the reference's multiclass NMS wrappers (pure python + nms stub)
+    bbox_nms = _load_file("mmdet.core._bbox_nms",
+                          f"{REF_MMDET}/mmdet/core/post_processing/bbox_nms.py")
+    core.multiclass_nms = bbox_nms.multiclass_nms
+    core.multiclass_nms_idx = bbox_nms.multiclass_nms_idx
+    return mmdet
+
+
+def load_reference():
+    """Returns a namespace dict with the loaded reference modules:
+      head_mod: mmdet sipmask_head module (SipMaskHead, crop_split fallback)
+      core: fake mmdet.core with the reference's own distance2bbox /
+            bbox_overlaps / multiclass_nms(_idx)
+      make_head(**kw): construct a SipMaskHead with the CUDA crop ops
+            replaced by the pure-torch transcriptions (same semantics).
+    """
+    if _cache:
+        return _cache
+    if not reference_available():
+        raise RuntimeError("reference repo not present")
+    _make_torch_stubs()
+    _make_mmdet_stubs()
+    head_mod = _load_file(
+        "mmdet.models.anchor_heads.sipmask_head",
+        f"{REF_MMDET}/mmdet/models/anchor_heads/sipmask_head.py")
+
+    def make_head(num_fg_classes=8, in_channels=32, feat_channels=32,
+                  stacked_convs=2, center_sampling=True, norm=True, **kw):
+        head = head_mod.SipMaskHead(
+            num_classes=num_fg_classes + 1,
+            in_channels=in_channels,
+            feat_channels=feat_channels,
+            stacked_convs=stacked_convs,
+            # the head's own defaults are (4, 8, ...); every SipMask config
+            # overrides to (8, ..., 128) (sipmask_r50_caffe_fpn_gn_1x.py)
+            strides=kw.pop("strides", (8, 16, 32, 64, 128)),
+            center_sampling=center_sampling,
+            norm_cfg=(dict(type="GN", num_groups=32, requires_grad=True)
+                      if norm else None),
+            **kw)
+        return head
+
+    _cache.update(dict(head_mod=head_mod, core=sys.modules["mmdet.core"],
+                       make_head=make_head))
+    return _cache
