@@ -81,6 +81,28 @@ def giou_loss(pred, target, weight=None, avg_factor=None, eps: float = 1e-7):
     return _reduce(1 - gious, weight, avg_factor)
 
 
+def giou_loss_ltrb(pred, target, weight=None, avg_factor=None):
+    """fcos_core's IOULoss(loss_type='giou') (SipMask-benchmark
+    fcos_core/layers/iou_loss.py:12-56): operates on (l, t, r, b) distances
+    (stride-normalized under NORM_REG_TARGETS), areas = (l+r)*(t+b) with NO
+    +1 side convention, smoothed ious = (inter + 1)/(union + 1), enclosing
+    box + 1e-7."""
+    pl, pt, pr, pb = (pred[..., i] for i in range(4))
+    tl, tt, tr, tb = (target[..., i] for i in range(4))
+    target_area = (tl + tr) * (tt + tb)
+    pred_area = (pl + pr) * (pt + pb)
+    w_inter = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    g_w = jnp.maximum(pl, tl) + jnp.maximum(pr, tr)
+    h_inter = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
+    g_h = jnp.maximum(pb, tb) + jnp.maximum(pt, tt)
+    ac_union = g_w * g_h + 1e-7
+    inter = w_inter * h_inter
+    union = target_area + pred_area - inter
+    ious = (inter + 1.0) / (union + 1.0)
+    gious = ious - (ac_union - union) / ac_union
+    return _reduce(1 - gious, weight, avg_factor)
+
+
 def bounded_iou_loss(pred, target, weight=None, avg_factor=None,
                      beta: float = 0.2, eps: float = 1e-3):
     """BoundedIoULoss (mmdet iou_loss.py BIoU: per-coordinate bounded IoU

@@ -92,7 +92,11 @@ def decode_batch(outputs, img_shapes, scale_factors, cfg: ModelConfig,
         if not use_fast:
             res = multiclass_nms_idx(boxes, scr, t.score_thr, t.nms_iou_thr,
                                      t.max_per_img, score_factors=ctrs,
-                                     pre_nms_top_n=t.nms_pre)
+                                     pre_nms_top_n=t.pre_nms_pairs,
+                                     nms_type=t.nms_type,
+                                     soft_method=t.soft_nms_method,
+                                     soft_sigma=t.soft_nms_sigma,
+                                     soft_min_score=t.soft_nms_min_score)
             det_cofs = jnp.take(cofs, res["idxs"], axis=0) * \
                 res["valid"][:, None]
         else:

@@ -78,10 +78,14 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
     pos = labels > 0
 
     num_pos = pos.sum()
-    # --- classification (:364-366)
+    # --- classification (:364-366). mmdet normalizes by num_pos + num_imgs;
+    # the benchmark fork by max(num_pos, 1) (fcos_core loss.py:377-383, the
+    # cross-GPU reduce_sum falls out of global-batch SPMD).
+    cls_avg = (jnp.maximum(num_pos, 1) if cfg.benchmark_loss_extras
+               else num_pos + b)
     loss_cls = L.sigmoid_focal_loss(
         cls_logits, labels, nc, cfg.focal_gamma, cfg.focal_alpha,
-        avg_factor=num_pos + b) * cfg.loss_cls_weight
+        avg_factor=cls_avg) * cfg.loss_cls_weight
 
     # --- box + centerness (:371-389)
     ctr_targets = centerness_target(jnp.clip(bbox_targets, 0.0))
@@ -89,18 +93,29 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
     w_ctr = ctr_targets * posf
     pts = jnp.broadcast_to(points[None], (b, p, 2))
     strd = strides[None, :, None]
-    decoded_pred = distance2bbox(pts, bbox_preds / strd)
-    decoded_tgt = distance2bbox(pts, bbox_targets / strd)
-    iou_fn = L.giou_loss if cfg.iou_loss_mode == "giou" else L.iou_loss
-    loss_bbox = iou_fn(decoded_pred, decoded_tgt, weight=w_ctr,
-                       avg_factor=jnp.maximum(w_ctr.sum(), 1e-6)
-                       ) * cfg.loss_bbox_weight
+    if cfg.benchmark_loss_extras:
+        # benchmark fork (NORM_REG_TARGETS): relu'd stride-normalized ltrb
+        # through fcos_core's giou formula (sipmask.py:162-166, loss.py:394-399)
+        loss_bbox = L.giou_loss_ltrb(
+            jax.nn.relu(bbox_preds) / strd, bbox_targets / strd, weight=w_ctr,
+            avg_factor=jnp.maximum(w_ctr.sum(), 1e-6)) * cfg.loss_bbox_weight
+    else:
+        decoded_pred = distance2bbox(pts, bbox_preds / strd)
+        decoded_tgt = distance2bbox(pts, bbox_targets / strd)
+        iou_fn = L.giou_loss if cfg.iou_loss_mode == "giou" else L.iou_loss
+        loss_bbox = iou_fn(decoded_pred, decoded_tgt, weight=w_ctr,
+                           avg_factor=jnp.maximum(w_ctr.sum(), 1e-6)
+                           ) * cfg.loss_bbox_weight
     loss_centerness = L.bce_with_logits(
         ctr_logits, ctr_targets, weight=posf,
         avg_factor=jnp.maximum(num_pos, 1)) * cfg.loss_centerness_weight
 
-    # --- mask loss (:391-463), per image with static top-max_pos selection
-    det_bboxes = distance2bbox(pts, jax.lax.stop_gradient(bbox_preds))
+    # --- mask loss (:391-463), per image with static top-max_pos selection.
+    # benchmark fork decodes det boxes from the relu'd regression
+    # (loss.py:340-346 via decode_for_single_feature_map)
+    det_dist = (jax.nn.relu(bbox_preds) if cfg.benchmark_loss_extras
+                else bbox_preds)
+    det_bboxes = distance2bbox(pts, jax.lax.stop_gradient(det_dist))
 
     def per_image(labels_i, gt_inds_i, cof_i, cls_i, det_i, basis_i,
                   gt_boxes_i, gt_masks_i):
@@ -128,18 +143,41 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
         box_sel = jnp.take(bbox_dt, topi, axis=0)            # (K, 4)
         gtidx_sel = jnp.take(gt_inds_i, topi, axis=0)        # (K,)
         w_sel = jnp.where(sel_valid, jnp.take(w_raw, topi), 0.0)
-        # normalize weighting over the selected set (:433-435)
-        w_norm = w_sel / (w_sel.sum() + 1e-4) * n_self
+        # normalize weighting over the selected set (:433-435). The mmdet
+        # fork adds +1e-4 to the denominator; the benchmark fork does not
+        # (fcos_core loss.py:450-451) — guard against exact zero instead.
+        eps = 0.0 if cfg.benchmark_loss_extras else 1e-4
+        w_norm = w_sel / jnp.maximum(w_sel.sum() + eps, 1e-20) * n_self
+
+        if cfg.benchmark_loss_extras:
+            # benchmark fork: NMS-0.9 dedup of positives ranked by cls score
+            # (fcos_core loss.py:452-456; its _box_nms keeps the +1 IoU
+            # convention, csrc/cuda/nms.cu:16-19). Exact whenever the image
+            # has <= max_pos positives (then the static selection is the
+            # full positive set, like the rest of the top-K design). The
+            # weighting normalizer above uses the pre-dedup count
+            # (:450-451); the per-pixel divisor below uses the post-dedup
+            # count (:487).
+            from ..ops.nms import hard_nms, NEG
+            nms_scores = jnp.where(sel_valid, jnp.take(cls_score, topi), NEG)
+            kidx, _, kvalid = hard_nms(box_sel, nms_scores, 0.9, k)
+            kept = (jnp.zeros((k,), jnp.int32)
+                    .at[jnp.where(kvalid, kidx, k)]
+                    .add(1, mode="drop")) > 0
+            final_valid = sel_valid & kept
+        else:
+            final_valid = sel_valid
+        n_final = jnp.maximum(final_valid.sum().astype(jnp.float32), 1.0)
 
         gt_m = jnp.take(gt_masks_i, gtidx_sel, axis=0)        # (K, Hm, Wm)
         gt_m = jnp.moveaxis(gt_m, 0, -1).astype(jnp.float32)  # (Hm, Wm, K)
 
         pre = mask_bce_loss(basis_i, cof_sel, box_sel, gt_m)  # (K,)
         csz = center_size(box_sel)
-        bw = jnp.where(sel_valid, csz[:, 2], 1.0)
-        bh = jnp.where(sel_valid, csz[:, 3], 1.0)
-        pre = pre / bw / bh / n_self  # (:459-462)
-        loss_m = jnp.sum(jnp.where(sel_valid, pre * w_norm, 0.0))
+        bw = jnp.where(final_valid, csz[:, 2], 1.0)
+        bh = jnp.where(final_valid, csz[:, 3], 1.0)
+        pre = pre / bw / bh / n_final  # (:459-462)
+        loss_m = jnp.sum(jnp.where(final_valid, pre * w_norm, 0.0))
         aux = dict(topi=topi, sel_valid=sel_valid, box_sel=box_sel,
                    cof_sel=cof_sel, gtidx_sel=gtidx_sel,
                    labels_sel=jnp.take(lbl, topi))
@@ -149,6 +187,9 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
         labels, gt_inds, cof_preds, cls_logits, det_bboxes, feat_masks,
         gt_bboxes, batch["gt_masks"])
     loss_mask = loss_mask_b.sum() / b  # (:484)
+    if cfg.benchmark_loss_extras:
+        # benchmark fork caps runaway mask loss (fcos_core loss.py:487-488)
+        loss_mask = jnp.where(loss_mask > 1.0, loss_mask * 0.5, loss_mask)
 
     out = dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                loss_centerness=loss_centerness, loss_mask=loss_mask)

@@ -293,6 +293,107 @@ def _make_mmdet_stubs():
     return mmdet
 
 
+REF_BENCH = "/root/reference/SipMask-benchmark"
+_bench_cache: dict = {}
+
+
+def load_reference_benchmark():
+    """Load the benchmark fork's own SipMaskLossComputation
+    (fcos_core/modeling/rpn/sipmask/loss.py) with only the compiled _C
+    extension stubbed. Its sigmoid_focal_loss has a real CPU path; IOULoss
+    is pure torch; CropSplit/Gt/nms reuse the CUDA-kernel transcriptions
+    (the benchmark's csrc copies have identical semantics, incl. the +1 IoU
+    in nms_cpu.cpp:22,56-57).
+
+    Returns dict with: loss_mod, make_loss_evaluator(cfg-overrides),
+    FakeBoxList (targets container exposing .bbox/.area()/get_field()).
+    """
+    if _bench_cache:
+        return _bench_cache
+    if not reference_available():
+        raise RuntimeError("reference repo not present")
+    load_reference()  # installs torch stubs (not strictly needed, cheap)
+    import torch
+    import torch.nn as nn
+
+    fcos = _stub_module("fcos_core", is_pkg=True)
+    fcos._C = types.SimpleNamespace()  # layers import `from fcos_core import _C`
+    sys.modules["fcos_core._C"] = fcos._C
+
+    iou_mod = _load_file("fcos_core.layers.iou_loss",
+                         f"{REF_BENCH}/fcos_core/layers/iou_loss.py")
+    sfl_mod = _load_file("fcos_core.layers.sigmoid_focal_loss",
+                         f"{REF_BENCH}/fcos_core/layers/sigmoid_focal_loss.py")
+
+    ops = sys.modules["mmdet.ops"]  # reuse the CUDA-kernel transcriptions
+
+    def _box_nms(boxes, scores, thr):
+        """fcos_core.layers.nms (_C.nms) signature: (boxes, scores, thr) ->
+        keep indices; +1 IoU convention (csrc/cpu/nms_cpu.cpp:22,56-57)."""
+        dets = torch.cat([boxes, scores[:, None]], 1)
+        _, keep = _pure_torch_nms(dets, thr)
+        return keep
+
+    _stub_module("fcos_core.layers", is_pkg=True,
+                 IOULoss=iou_mod.IOULoss,
+                 SigmoidFocalLoss=sfl_mod.SigmoidFocalLoss,
+                 CropSplit=ops.CropSplit, CropSplitGt=ops.CropSplitGt,
+                 nms=_box_nms)
+    _stub_module("fcos_core.modeling", is_pkg=True)
+    _stub_module("fcos_core.modeling.matcher", Matcher=object)
+    _stub_module("fcos_core.modeling.utils", cat=lambda t, dim=0:
+                 t[0] if len(t) == 1 else torch.cat(t, dim))
+    _stub_module("fcos_core.modeling.rpn", is_pkg=True)
+    _stub_module("fcos_core.modeling.rpn.utils",
+                 concat_box_prediction_layers=None)
+    _stub_module("fcos_core.modeling.rpn.sipmask", is_pkg=True)
+    _stub_module("fcos_core.structures", is_pkg=True)
+    _stub_module("fcos_core.structures.boxlist_ops",
+                 boxlist_iou=None, cat_boxlist=None)
+
+    loss_mod = _load_file(
+        "fcos_core.modeling.rpn.sipmask.loss",
+        f"{REF_BENCH}/fcos_core/modeling/rpn/sipmask/loss.py")
+
+    class FakeMasks:
+        def __init__(self, t):
+            self._t = t
+
+        def get_mask_tensor(self):
+            return self._t
+
+    class FakeBoxList:
+        """The slice of the BoxList API prepare_targets/loss touch
+        (fcos_core/structures/bounding_box.py; area() keeps TO_REMOVE=1)."""
+        mode = "xyxy"
+
+        def __init__(self, bbox, labels, masks_full_res):
+            self.bbox = bbox
+            self._fields = {"labels": labels, "masks": FakeMasks(masks_full_res)}
+
+        def get_field(self, k):
+            return self._fields[k]
+
+        def area(self):
+            b = self.bbox
+            return (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+
+    def make_loss_evaluator(num_fg_classes=8):
+        cfg = types.SimpleNamespace(MODEL=types.SimpleNamespace(
+            SIPMASK=types.SimpleNamespace(
+                # 1-element lists: sigmoid_focal_loss_cpu indexes gamma[0]
+                # (fcos_core/layers/sigmoid_focal_loss.py:42-43)
+                LOSS_GAMMA=[2.0], LOSS_ALPHA=[0.25],
+                FPN_STRIDES=[8, 16, 32, 64, 128],
+                CENTER_SAMPLING_RADIUS=1.5,
+                IOU_LOSS_TYPE="giou", NORM_REG_TARGETS=True)))
+        return loss_mod.SipMaskLossComputation(cfg)
+
+    _bench_cache.update(dict(loss_mod=loss_mod, FakeBoxList=FakeBoxList,
+                             make_loss_evaluator=make_loss_evaluator))
+    return _bench_cache
+
+
 def load_reference():
     """Returns a namespace dict with the loaded reference modules:
       head_mod: mmdet sipmask_head module (SipMaskHead, crop_split fallback)

@@ -259,6 +259,76 @@ class TestFullLossParity:
         assert want["loss_mask"] > 0  # the fixture must exercise the SP path
 
 
+class TestBenchmarkLossParity:
+    """Oracle = the benchmark fork's own SipMaskLossComputation
+    (fcos_core/modeling/rpn/sipmask/loss.py, CPU paths), covering the fork's
+    extras: fcos_core GIoU on normalized ltrb, max(num_pos,1) cls normalizer,
+    NMS-0.9 mask-positive dedup, and the loss_mask>1 -> x0.5 cap."""
+
+    def test_benchmark_loss_scalars_match(self):
+        from reference_loader import load_reference_benchmark
+        from sipmask_tpu.config import get_config, _r
+        from sipmask_tpu.models.loss import compute_losses
+        from sipmask_tpu.utils import demo_batch
+
+        bench = load_reference_benchmark()
+        rng = np.random.RandomState(17)
+        b = 2
+        outs = _make_head_outputs(rng, b=b)
+        batch_np = demo_batch(batch_size=b, height=64, width=96, max_gts=8,
+                              seed=19, num_classes=8)
+
+        # ---- reference evaluator inputs (NCHW; box_regression is the
+        # relu'd stride-normalized form the benchmark head emits in training)
+        t = lambda x: torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+        locations = []
+        box_cls, box_reg, ctrn, cofs = [], [], [], []
+        for lvl, (h, w) in enumerate(FEAT_SIZES):
+            s = STRIDES[lvl]
+            xs = torch.arange(0, w * s, s, dtype=torch.float32) + s // 2
+            ys = torch.arange(0, h * s, s, dtype=torch.float32) + s // 2
+            yy, xx = torch.meshgrid(ys, xs)
+            locations.append(torch.stack(
+                [xx.reshape(-1), yy.reshape(-1)], -1))
+            box_cls.append(t(outs["cls_scores"][lvl]))
+            box_reg.append(torch.relu(t(outs["bbox_preds"][lvl])) / s)
+            ctrn.append(t(outs["centernesses"][lvl]))
+            cofs.append(t(outs["cof_preds"][lvl]))
+        feat_mask = t(outs["feat_masks"])
+
+        targets = []
+        for i in range(b):
+            n = int((batch_np["gt_labels"][i] > 0).sum())
+            m = batch_np["gt_masks"][i, :n].astype(np.float32)
+            targets.append(bench["FakeBoxList"](
+                torch.from_numpy(batch_np["gt_bboxes"][i, :n]),
+                torch.from_numpy(batch_np["gt_labels"][i, :n].astype(np.int64)),
+                torch.from_numpy(m.repeat(2, axis=1).repeat(2, axis=2))))
+
+        ev = bench["make_loss_evaluator"]()
+        cls_l, reg_l, ctr_l, mask_l = ev(locations, box_cls, box_reg, ctrn,
+                                         cofs, feat_mask, targets)
+        want = dict(loss_cls=float(cls_l), loss_bbox=float(reg_l),
+                    loss_centerness=float(ctr_l), loss_mask=float(mask_l))
+
+        # ---- this framework, benchmark preset loss config
+        cfg = get_config("sipmask_benchmark_r50_fpn_1x")
+        head_cfg = _r(cfg, "model.head", num_classes=8).model.head
+        assert head_cfg.benchmark_loss_extras and \
+            head_cfg.iou_loss_mode == "giou"
+        outs_j = {k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
+                      else jnp.asarray(v)) for k, v in outs.items()}
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        got = jax.jit(lambda o, bt: compute_losses(o, bt, head_cfg,
+                                                   max_pos=129))(outs_j, batch)
+        got = {k: float(v) for k, v in got.items()}
+
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=2e-4, atol=1e-6,
+                                       err_msg=k)
+        assert want["loss_mask"] > 0
+
+
 class TestFastNmsParity:
     def test_fast_nms_keep_set(self, ref_head):
         from sipmask_tpu.ops.nms import fast_nms
@@ -329,4 +399,51 @@ class TestMulticlassNmsIdxParity:
         quantifies the static pre-NMS cap divergence (VERDICT item 4)."""
         got, want, _ = self._run(seed=32, n=1000, c=8,
                                  pre_nms_top_n=8000)
+        assert got == want
+
+    @pytest.mark.parametrize("seed", [41, 42])
+    def test_keep_set_matches_crowded_duplicates_default_cap(self, seed):
+        """Trained-detector-like crowded scene: 120 objects x 25 duplicate
+        boxes each, scores high on 1-2 classes per object, 80 classes.
+        Zero keep-set divergence at the default pre_nms_pairs=5000 cap
+        (measured bound for the static-shape tradeoff; adversarial
+        'high-on-all-80-classes duplicates' inputs can still diverge — see
+        PARITY.md)."""
+        from sipmask_tpu.config import TestConfig
+        from sipmask_tpu.ops.nms import multiclass_nms_idx
+        rng = np.random.RandomState(seed)
+        nclus, ndup, c = 120, 25, 80
+        n = nclus * ndup
+        cx = rng.uniform(.1, .9, nclus) * 960
+        cy = rng.uniform(.1, .9, nclus) * 640
+        bw = rng.uniform(.03, .2, nclus) * 960
+        bh = rng.uniform(.03, .2, nclus) * 640
+        boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                          cx + bw / 2, cy + bh / 2], -1)
+        boxes = (np.repeat(boxes, ndup, 0)
+                 + rng.uniform(-3, 3, (n, 4))).astype(np.float32)
+        # focal-style scores: low everywhere, high on 1-2 classes per object
+        scores = (rng.rand(nclus, c) * 0.04).astype(np.float32)
+        for i in range(nclus):
+            for j in rng.choice(c, rng.randint(1, 3), replace=False):
+                scores[i, j] = rng.uniform(0.3, 0.95)
+        scores = (np.repeat(scores, ndup, 0)
+                  * rng.uniform(0.7, 1.0, (n, c))).astype(np.float32)
+        ctr = rng.uniform(.3, 1, n).astype(np.float32)
+
+        ref_core = load_reference()["core"]
+        ms = np.concatenate([np.zeros((n, 1), np.float32), scores], 1)
+        rb, rl, ridx = ref_core.multiclass_nms_idx(
+            torch.from_numpy(boxes), torch.from_numpy(ms), score_thr=0.05,
+            nms_cfg=dict(type="nms", iou_thr=0.5), max_num=100,
+            score_factors=torch.from_numpy(ctr))
+        want = set(zip(ridx.numpy().tolist(), rl.numpy().tolist()))
+
+        cap = TestConfig().pre_nms_pairs
+        o = multiclass_nms_idx(jnp.asarray(boxes), jnp.asarray(scores), 0.05,
+                               0.5, 100, score_factors=jnp.asarray(ctr),
+                               pre_nms_top_n=cap)
+        v = np.asarray(o["valid"])
+        got = set(zip(np.asarray(o["idxs"])[v].tolist(),
+                      np.asarray(o["labels"])[v].tolist()))
         assert got == want
