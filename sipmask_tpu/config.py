@@ -201,6 +201,36 @@ def _r(cfg, path: str, **kw):
     return dataclasses.replace(cfg, **{head_name: new_child})
 
 
+def apply_overrides(cfg: SipMaskConfig, options) -> SipMaskConfig:
+    """CLI config overrides, the analog of the benchmark fork's YACS ``opts``
+    key-value pairs (tools/train_net.py --opts) and mmdetection's limited
+    argparse flags.
+
+    ``options``: iterable of "dotted.path=value" strings; values parsed with
+    ast.literal_eval (falling back to raw string), e.g.
+    ``data.fixed_size=(256,256) train.optim.lr=0.005 model.head.norm=None``.
+    """
+    import ast
+
+    for opt in options or []:
+        path, _, raw = opt.partition("=")
+        if not _:
+            raise ValueError(f"override {opt!r} must be key=value")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # plain string (e.g. norm=gn)
+        parent, _, leaf = path.strip().rpartition(".")
+        # validate the leaf exists so typos fail loudly
+        node = cfg
+        for part in [p for p in parent.split(".") if p]:
+            node = getattr(node, part)
+        if not hasattr(node, leaf):
+            raise AttributeError(f"config has no field {path!r}")
+        cfg = _r(cfg, parent, **{leaf: value})
+    return cfg
+
+
 def _hi_acc_base() -> SipMaskConfig:
     return SipMaskConfig()
 

@@ -91,7 +91,9 @@ def min_iou_random_crop(img, boxes, labels, masks, rng,
     fall inside; retry per sampled min-IoU."""
     h, w = img.shape[:2]
     while True:
-        mode = (1, *min_ious)[rng.randint(len(min_ious) + 1)]
+        # sample_mode includes the unconstrained-crop mode 0 (reference
+        # MinIoURandomCrop sample_mode=(1, *min_ious, 0); ADVICE.md round 1)
+        mode = (1, *min_ious, 0)[rng.randint(len(min_ious) + 2)]
         if mode == 1:
             return img, boxes, labels, masks
         for _ in range(max_tries):

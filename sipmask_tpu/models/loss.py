@@ -100,8 +100,13 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
             jax.nn.relu(bbox_preds) / strd, bbox_targets / strd, weight=w_ctr,
             avg_factor=jnp.maximum(w_ctr.sum(), 1e-6)) * cfg.loss_bbox_weight
     else:
-        decoded_pred = distance2bbox(pts, bbox_preds / strd)
-        decoded_tgt = distance2bbox(pts, bbox_targets / strd)
+        # mmdet fork stride-normalizes the decoded boxes (:376-378); the VIS
+        # fork decodes unnormalized (SipMask-VIS sipmask_head.py:410-414) —
+        # with the +1 IoU convention this changes per-level magnitudes
+        # (ADVICE.md round 1), so follow each fork exactly.
+        div = 1.0 if cfg.track else strd
+        decoded_pred = distance2bbox(pts, bbox_preds / div)
+        decoded_tgt = distance2bbox(pts, bbox_targets / div)
         iou_fn = L.giou_loss if cfg.iou_loss_mode == "giou" else L.iou_loss
         loss_bbox = iou_fn(decoded_pred, decoded_tgt, weight=w_ctr,
                            avg_factor=jnp.maximum(w_ctr.sum(), 1e-6)

@@ -159,7 +159,9 @@ def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
         feats = jnp.where(write, det_feats[i], st.feats[obj])
         boxes5 = jnp.concatenate([det_boxes[i], det_scores[i][None]])
         boxes = jnp.where(write, boxes5, st.boxes[obj])
-        labels = jnp.where(write, det_labels[i], st.labels[obj])
+        # matched objects keep their original label: the reference updates
+        # prev_roi_feats/prev_bboxes but never prev_det_labels (:664-667)
+        labels = jnp.where(write & is_new, det_labels[i], st.labels[obj])
         st = st._replace(
             feats=st.feats.at[obj].set(feats),
             boxes=st.boxes.at[obj].set(boxes),

@@ -37,6 +37,7 @@ def _build() -> Optional[str]:
     if os.path.exists(_LIB_PATH) and (
             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return _LIB_PATH
+    tmp = None
     try:
         # build in a temp file then atomically rename, so concurrent
         # importers never load a half-written library
@@ -48,7 +49,7 @@ def _build() -> Optional[str]:
         os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except (OSError, subprocess.CalledProcessError):
-        if os.path.exists(tmp):
+        if tmp and os.path.exists(tmp):
             os.unlink(tmp)
         return None
 

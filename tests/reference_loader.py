@@ -295,6 +295,49 @@ def _make_mmdet_stubs():
 
 REF_BENCH = "/root/reference/SipMask-benchmark"
 _bench_cache: dict = {}
+_vis_cache: dict = {}
+
+
+def load_reference_vis():
+    """Load the SipMask-VIS fork's head (SipMask-VIS/mmdet/models/
+    anchor_heads/sipmask_head.py) on the same stub tree: its get_bboxes runs
+    the REAL streaming tracker (comp scores + greedy best-score dedup,
+    :597-667) on CPU. torch.cuda.current_device is patched to 'cpu' (the
+    tracker hardcodes it for dummy-tensor devices)."""
+    if _vis_cache:
+        return _vis_cache
+    load_reference()
+    import torch
+
+    torch.cuda.current_device = lambda: "cpu"
+    ops = sys.modules["mmdet.ops"]
+    mu = sys.modules["mmdet.models.utils"]
+    mu.ConvModule = ops.ConvModule
+    mu.Scale = ops.Scale
+    ml = sys.modules["mmdet.models.losses"]
+    acc_mod = _load_file("mmdet.models.losses._vis_accuracy",
+                         f"{REF_VIS}/mmdet/models/losses/accuracy.py")
+    ml.accuracy = acc_mod.accuracy
+    ml.cross_entropy = sys.modules[
+        "mmdet.models.losses.cross_entropy_loss"].cross_entropy
+
+    head_mod = _load_file(
+        "mmdet.models.anchor_heads.sipmask_head_vis",
+        f"{REF_VIS}/mmdet/models/anchor_heads/sipmask_head.py")
+
+    def make_vis_head(num_fg_classes=8, in_channels=32, feat_channels=32,
+                      stacked_convs=2, **kw):
+        head = head_mod.SipMaskHead(
+            num_classes=num_fg_classes + 1,
+            in_channels=in_channels,
+            feat_channels=feat_channels,
+            stacked_convs=stacked_convs,
+            strides=kw.pop("strides", (8, 16, 32, 64, 128)),
+            **kw)
+        return head
+
+    _vis_cache.update(dict(head_mod=head_mod, make_vis_head=make_vis_head))
+    return _vis_cache
 
 
 def load_reference_benchmark():

@@ -19,9 +19,11 @@ def main():
     ap.add_argument("--out", default=None, help="dump results json")
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--eval", nargs="+", default=["bbox", "segm"])
+    ap.add_argument("--cfg-options", nargs="+", default=None,
+                    help="dotted config overrides (see tools/train.py)")
     args = ap.parse_args()
 
-    from sipmask_tpu.config import get_config
+    from sipmask_tpu.config import get_config, apply_overrides
     from sipmask_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -29,7 +31,7 @@ def main():
     from sipmask_tpu.apis.test import run_inference, evaluate_coco
     from sipmask_tpu.data import CocoDataset
 
-    cfg = get_config(args.config)
+    cfg = apply_overrides(get_config(args.config), args.cfg_options)
     det = init_detector(cfg, checkpoint=args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_prefix, test_mode=True)
     results = run_inference(det.model, det.variables, cfg, dataset,

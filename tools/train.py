@@ -28,16 +28,20 @@ def main():
     ap.add_argument("--val-ann", default=None,
                     help="enable eval-during-train on this val json")
     ap.add_argument("--val-img-prefix", default=None)
+    ap.add_argument("--cfg-options", nargs="+", default=None,
+                    help="dotted config overrides, e.g. train.optim.lr=0.005"
+                         " data.fixed_size=(256,256) (the benchmark fork's"
+                         " YACS opts analog)")
     args = ap.parse_args()
 
-    from sipmask_tpu.config import get_config, _r
+    from sipmask_tpu.config import get_config, _r, apply_overrides
     from sipmask_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
     from sipmask_tpu.apis import train_detector
     from sipmask_tpu.apis.train import make_coco_eval_hook
 
-    cfg = get_config(args.config)
+    cfg = apply_overrides(get_config(args.config), args.cfg_options)
     if args.seed is not None:
         cfg = _r(cfg, "train", seed=args.seed)
     eval_hook = None
