@@ -53,6 +53,15 @@ P_BLK = 512
 Q_BLK = 512
 
 
+def _compiler_params():
+    """Raise this kernel family's scoped-VMEM budget: at large levels XLA
+    stack-allocates the (N, Ppad, 2K) dpyx output in VMEM (~20MB at
+    800x1344 bs4), exceeding the 16MB v5e default and failing compilation.
+    The kernels' real block residency stays a few MB."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def pallas_available() -> bool:
     try:
         import jax.experimental.pallas  # noqa: F401
@@ -207,6 +216,7 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
         functools.partial(_fwd_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
         out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
         grid_spec=grid_spec,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(ranges, _pack_pyx(pyxp, n, ppad, k), xp)
     return out[:, :, :p, :]
@@ -294,6 +304,7 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
         functools.partial(_bwd_dpyx_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
         out_shape=jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
         grid_spec=dpyx_spec,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(ranges, pyx_packed, xp, gp)
     dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
@@ -314,6 +325,7 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
         functools.partial(_bwd_dx_kernel, k_n=k, pb_n=pb, w=w),
         out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
         grid_spec=dx_spec,
+        compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(ranges, pyx_packed, gp)
     return dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :]
