@@ -57,9 +57,12 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
                    eval_hook: Optional[Callable] = None,
                    dataset=None):
     os.makedirs(work_dir, exist_ok=True)
-    mesh = make_mesh()
-    n_dev = len(mesh.devices.flatten())
-    batch_size = cfg.train.imgs_per_device * n_dev
+    mesh = make_mesh()  # global devices across all processes
+    # per-host sharding: each process loads and feeds only its local rows
+    # (DistributedGroupSampler analog; shard_batch assembles the global
+    # array via make_array_from_process_local_data on multi-host)
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    local_batch = cfg.train.imgs_per_device * jax.local_device_count()
 
     is_vis = cfg.model.head.track
     if is_vis:
@@ -72,14 +75,16 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
             dataset = YTVOSDataset(ann_file, img_prefix, seed=cfg.train.seed)
         transform = VISPairTransform(cfg.data, seed=cfg.train.seed)
         loader, steps_per_epoch = build_vis_train_loader(
-            dataset, transform, batch_size, seed=cfg.train.seed)
+            dataset, transform, local_batch, seed=cfg.train.seed,
+            shard_id=shard_id, num_shards=num_shards)
     else:
         if dataset is None:
             dataset = CocoDataset(ann_file, img_prefix)
         transform = TrainTransform(cfg.data, seed=cfg.train.seed)
         loader, steps_per_epoch = build_train_loader(
-            dataset, transform, batch_size, seed=cfg.train.seed,
-            repeat_times=cfg.data.repeat_times)
+            dataset, transform, local_batch, seed=cfg.train.seed,
+            repeat_times=cfg.data.repeat_times,
+            shard_id=shard_id, num_shards=num_shards)
 
     first = next(loader)
     model, state, tx = create_train_state(
@@ -102,6 +107,7 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
     if max_steps is not None:
         total_steps = min(total_steps, max_steps)
 
+    best_score = -1.0
     with mesh:
         state = replicate(state, mesh)
         step = int(state.step)
@@ -121,9 +127,29 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
                     or step == total_steps):
                 epoch = step // steps_per_epoch
                 path = os.path.join(work_dir, f"epoch_{epoch}")
-                save_checkpoint(path, state,
-                                meta=dict(config=cfg.name, step=step))
+                # meta embeds the full config contents + class names, like
+                # the reference's checkpoint meta (tools/train.py:124-130)
+                import dataclasses
+                save_checkpoint(path, state, meta=dict(
+                    config=cfg.name, step=step,
+                    config_dict=dataclasses.asdict(cfg),
+                    classes=list(getattr(dataset, "CLASSES", []))))
                 print(f"saved checkpoint {path}")
                 if eval_hook is not None:
-                    eval_hook(model, state, epoch)
+                    stats = eval_hook(model, state, epoch)
+                    if stats:
+                        # record eval stats in the train log and track the
+                        # best checkpoint (DistEvalHook + best-ckpt analog)
+                        rec = {f"val/{it}/{k}": v
+                               for it, s in stats.items()
+                               for k, v in s.items()}
+                        logger.log_record(step=step, epoch=epoch, **rec)
+                        key = "segm" if "segm" in stats else "bbox"
+                        score = stats[key]["AP"]
+                        if score > best_score:
+                            best_score = score
+                            with open(os.path.join(work_dir,
+                                                   "best_checkpoint"), "w") as f:
+                                f.write(f"{path}\n{key}/AP={score:.4f}\n")
+                            print(f"new best {key}/AP {score:.4f} -> {path}")
     return model, state

@@ -88,6 +88,10 @@ class CocoDataset:
         self.cat2label = {c["id"]: i + 1
                           for i, c in enumerate(data["categories"])}
         self.label2cat = {v: k for k, v in self.cat2label.items()}
+        # instance-level class names from the json (checkpoint meta embeds
+        # these, like the reference's CLASSES meta, tools/train.py:124-130)
+        self.CLASSES = tuple(c.get("name", str(c["id"]))
+                             for c in data["categories"])
         anns_by_img = {}
         for a in data.get("annotations", []):
             anns_by_img.setdefault(a["image_id"], []).append(a)

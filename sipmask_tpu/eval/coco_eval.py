@@ -34,6 +34,7 @@ AREA_RNG = {
     "large": (96 ** 2, 1e10),
 }
 MAX_DETS = 100
+MAX_DETS_LIST = (1, 10, 100)  # AR@1/AR@10/AR@100 protocol columns
 
 
 def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray
@@ -177,8 +178,11 @@ class COCOEvaluator:
     def accumulate(self):
         k_n, t_n, r_n = len(self.cat_ids), len(IOU_THRS), len(REC_THRS)
         a_names = list(AREA_RNG)
+        m_n = len(MAX_DETS_LIST)
         precision = -np.ones((t_n, r_n, k_n, len(a_names)))
-        recall = -np.ones((t_n, k_n, len(a_names)))
+        # recall follows the full pycocotools [T, K, A, M] protocol: each
+        # maxDets column truncates PER IMAGE before the cross-image sort
+        recall = -np.ones((t_n, k_n, len(a_names), m_n))
         for ki, cat in enumerate(self.cat_ids):
             preps = [self._prepare_img(i, cat) for i in self.img_ids]
             for ai, an in enumerate(a_names):
@@ -186,32 +190,37 @@ class COCOEvaluator:
                 evs = [e for e in evs if e is not None]
                 if not evs:
                     continue
-                scores = np.concatenate([e["scores"] for e in evs])
-                order = np.argsort(-scores, kind="mergesort")
-                dtm = np.concatenate([e["dtm"] for e in evs], 1)[:, order]
-                dt_ig = np.concatenate([e["dt_ig"] for e in evs], 1)[:, order]
                 n_gt = sum(e["n_gt"] for e in evs)
                 if n_gt == 0:
                     continue
-                tps = (dtm > 0) & ~dt_ig
-                fps = (dtm == 0) & ~dt_ig
-                tp_c = np.cumsum(tps, 1).astype(np.float64)
-                fp_c = np.cumsum(fps, 1).astype(np.float64)
-                for ti in range(t_n):
-                    tp, fp = tp_c[ti], fp_c[ti]
-                    rc = tp / n_gt
-                    pr = tp / np.maximum(tp + fp, 1e-12)
-                    recall[ti, ki, ai] = rc[-1] if len(rc) else 0
-                    # make precision monotonically decreasing
-                    pr = pr.tolist()
-                    for i in range(len(pr) - 1, 0, -1):
-                        pr[i - 1] = max(pr[i - 1], pr[i])
-                    inds = np.searchsorted(rc, REC_THRS, side="left")
-                    q = np.zeros(r_n)
-                    for rid, pid in enumerate(inds):
-                        if pid < len(pr):
-                            q[rid] = pr[pid]
-                    precision[ti, :, ki, ai] = q
+                for mi, md in enumerate(MAX_DETS_LIST):
+                    scores = np.concatenate([e["scores"][:md] for e in evs])
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm = np.concatenate([e["dtm"][:, :md] for e in evs],
+                                         1)[:, order]
+                    dt_ig = np.concatenate([e["dt_ig"][:, :md] for e in evs],
+                                           1)[:, order]
+                    tps = (dtm > 0) & ~dt_ig
+                    fps = (dtm == 0) & ~dt_ig
+                    tp_c = np.cumsum(tps, 1).astype(np.float64)
+                    fp_c = np.cumsum(fps, 1).astype(np.float64)
+                    for ti in range(t_n):
+                        tp, fp = tp_c[ti], fp_c[ti]
+                        rc = tp / n_gt
+                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0
+                        if md != MAX_DETS:
+                            continue  # precision uses maxDets=100 only
+                        pr = tp / np.maximum(tp + fp, 1e-12)
+                        # make precision monotonically decreasing
+                        pr = pr.tolist()
+                        for i in range(len(pr) - 1, 0, -1):
+                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        q = np.zeros(r_n)
+                        for rid, pid in enumerate(inds):
+                            if pid < len(pr):
+                                q[rid] = pr[pid]
+                        precision[ti, :, ki, ai] = q
         self._precision, self._recall = precision, recall
         return precision, recall
 
@@ -228,9 +237,10 @@ class COCOEvaluator:
             s = s[s > -1]
             return float(s.mean()) if s.size else -1.0
 
-        def ar(area="all"):
+        def ar(area="all", max_dets=MAX_DETS):
             ai = list(AREA_RNG).index(area)
-            s = r[:, :, ai]
+            mi = MAX_DETS_LIST.index(max_dets)
+            s = r[:, :, ai, mi]
             s = s[s > -1]
             return float(s.mean()) if s.size else -1.0
 
@@ -238,6 +248,7 @@ class COCOEvaluator:
             "AP": ap(), "AP50": ap(0.5), "AP75": ap(0.75),
             "APs": ap(area="small"), "APm": ap(area="medium"),
             "APl": ap(area="large"),
+            "AR@1": ar(max_dets=1), "AR@10": ar(max_dets=10),
             "AR": ar(), "ARs": ar("small"), "ARm": ar("medium"),
             "ARl": ar("large"),
         }

@@ -67,3 +67,9 @@ class MetricLogger:
                        **{k: m.median for k, m in self.meters.items()})
             with open(self.log_file, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+
+    def log_record(self, **record):
+        """Append an arbitrary record (e.g. eval stats) to the log json."""
+        if self.log_file:
+            with open(self.log_file, "a") as f:
+                f.write(json.dumps(record) + "\n")

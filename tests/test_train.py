@@ -91,3 +91,86 @@ class TestTrainStep:
             conv1_before)
         assert np.abs(np.asarray(new_state.params["head"]["fcos_cls"]["kernel"])
                       - head_before).max() > 0
+
+    def test_sharded_step_equals_single_device(self):
+        """Global-batch SPMD: losses on the 8-device sharded batch must
+        equal a single-device run of the same global batch — the normalizer
+        semantics of the benchmark fork's cross-GPU reduce_sum
+        (fcos_core loss.py:374-400) under jax.sharding."""
+        cfg = _tiny_cfg()
+        batch_np = demo_batch(batch_size=8, height=64, width=64, seed=5)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        model, state, tx = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch["images"][:1],
+            steps_per_epoch=10)
+        step_fn = make_train_step(model, tx, cfg, donate=False)
+
+        mesh = make_mesh()
+        with mesh:
+            _, metrics_sharded = step_fn(replicate(state, mesh),
+                                         shard_batch(batch, mesh))
+        mesh1 = make_mesh(1)
+        with mesh1:
+            _, metrics_single = step_fn(replicate(state, mesh1),
+                                        shard_batch(batch, mesh1))
+        for k in metrics_single:
+            # small float noise from the different reduction order of the
+            # 8-way psum-of-partials vs the single-device sum
+            np.testing.assert_allclose(
+                float(metrics_sharded[k]), float(metrics_single[k]),
+                rtol=5e-4, atol=1e-6, err_msg=k)
+
+
+class TestMultiHostPlumbing:
+    def test_process_shard_args_single_process(self):
+        from sipmask_tpu.parallel import process_shard_args
+        assert process_shard_args() == (0, 1)
+
+    def test_loader_shards_partition_epoch(self, tmp_path):
+        """Per-host sharding (DistributedGroupSampler analog): the union of
+        all shards' epoch batches covers every batch exactly once, and all
+        shards agree on the partition (same seed -> same permutation)."""
+        import json
+        import cv2
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data import CocoDataset
+        from sipmask_tpu.data.transforms import TrainTransform
+        from sipmask_tpu.data.loader import build_train_loader
+
+        rng = np.random.RandomState(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        images, anns = [], []
+        for i in range(16):
+            h, w = (60, 80) if i % 2 else (80, 60)
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        rng.randint(0, 255, (h, w, 3), np.uint8))
+            images.append(dict(id=i + 1, file_name=f"{i}.jpg",
+                               width=w, height=h))
+            anns.append(dict(id=i + 1, image_id=i + 1, category_id=1,
+                             bbox=[5, 5, 30, 30], area=900, iscrowd=0,
+                             segmentation=[[5, 5, 35, 5, 35, 35, 5, 35]]))
+        ann_file = tmp_path / "ann.json"
+        ann_file.write_text(json.dumps(dict(
+            images=images, annotations=anns,
+            categories=[dict(id=1, name="a")])))
+
+        ds = CocoDataset(str(ann_file), str(img_dir), min_size=1)
+        dcfg = DataConfig(img_scale=(80, 60), max_gts=4)
+        num_shards = 4
+        seen = []
+        per_shard_steps = None
+        for shard in range(num_shards):
+            loader, steps = build_train_loader(
+                ds, TrainTransform(dcfg, seed=0), batch_size=2, seed=0,
+                num_workers=2, prefetch=2, shard_id=shard,
+                num_shards=num_shards)
+            per_shard_steps = steps
+            for _ in range(steps):
+                seen.append(tuple(sorted(next(loader)["image_ids"].tolist())))
+        # 16 imgs / batch 2 = 8 batches -> 2 per shard, disjoint union
+        assert per_shard_steps == 2
+        assert len(seen) == 8
+        all_ids = [i for b in seen for i in b]
+        assert sorted(all_ids) == sorted(ds.image_id(i)
+                                         for i in range(len(ds)))

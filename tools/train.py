@@ -32,7 +32,20 @@ def main():
                     help="dotted config overrides, e.g. train.optim.lr=0.005"
                          " data.fixed_size=(256,256) (the benchmark fork's"
                          " YACS opts analog)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() (env"
+                         " auto-detect; the dist_train.sh/NCCL-launch analog)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port for manual multi-host launch")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.distributed:
+        from sipmask_tpu.parallel import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
 
     from sipmask_tpu.config import get_config, _r, apply_overrides
     from sipmask_tpu.utils import enable_compile_cache
