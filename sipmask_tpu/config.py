@@ -75,10 +75,11 @@ class HeadConfig:
     loss_bbox_weight: float = 1.0
     loss_centerness_weight: float = 1.0
     iou_loss_mode: str = "log"  # 'log' (mmdet IoULoss) or 'giou' (benchmark)
-    # SipMask-benchmark fork's mask-loss extras (fcos_core/modeling/rpn/
-    # sipmask/loss.py:452-456,487-488): NMS-0.9 dedup of mask positives
-    # (no-+1 IoU, ranked by cls score) and the loss_mask>1 -> x0.5 cap;
-    # also drops the mmdet fork's +1e-4 weighting-normalizer eps (:450).
+    # SipMask-benchmark fork's loss deltas (fcos_core/modeling/rpn/sipmask/
+    # loss.py): NMS-0.9 dedup of mask positives (+1 IoU, ranked by cls
+    # score, :452-456), the loss_mask>1 -> x0.5 cap (:487-488), no +1e-4
+    # weighting-normalizer eps (:450), max(num_pos,1) cls normalizer
+    # (:377-383), and fcos_core's ltrb-GIoU on relu'd normalized deltas.
     benchmark_loss_extras: bool = False
 
 
@@ -172,7 +173,14 @@ class OptimConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     imgs_per_device: int = 4
-    max_pos: int = 256  # static cap of mask-loss positives per image
+    # static cap of mask-loss positives per image. Measured at 800x1344
+    # (center sampling r=1.5): ~9.3 positives per gt, so 512 covers ~55
+    # objects/image — beyond COCO's crowded tail under the max_gts=64 pad;
+    # the reference uses all positives (dynamic). When truncation does hit,
+    # the top-K-by-weighting selection keeps the highest cls x IoU positives
+    # that dominate the renormalized loss. Real-time presets use 256
+    # (cropped SSD-style training rarely exceeds ~27 objects).
+    max_pos: int = 512
     optim: OptimConfig = field(default_factory=OptimConfig)
     seed: int = 0
     log_interval: int = 50
@@ -242,7 +250,7 @@ def _realtime_base(name: str) -> SipMaskConfig:
     cfg = _r(cfg, "model.test", score_thr=0.1, use_fast_nms=True, nms_pre=1000)
     cfg = _r(cfg, "data", fixed_size=(544, 544), img_scale=(576, 576),
              ssd_augs=True, repeat_times=3)
-    cfg = _r(cfg, "train", imgs_per_device=8)
+    cfg = _r(cfg, "train", imgs_per_device=8, max_pos=256)
     cfg = _r(cfg, "train.optim", lr_steps=(20, 23), total_epochs=24,
              warmup="linear")
     return cfg
@@ -307,6 +315,7 @@ def get_config(name: str) -> SipMaskConfig:
         cfg = _r(cfg, "model.test", nms_pre=200, score_thr=0.03, max_per_img=10,
                  use_fast_nms=True, mask_thr=0.5)
         cfg = _r(cfg, "data", img_scale=(640, 360))
+        cfg = _r(cfg, "train", max_pos=256)  # 360x640, <=10 objects typical
         return _r(cfg, "train.optim", lr=0.005)
     if name == "sipmask_vis_r50_ms":
         # VIS multi-scale training row (reference README:155)
