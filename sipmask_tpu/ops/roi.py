@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import flax.linen as _nn
 
 
 def _bilinear(feat, py, px):
@@ -157,3 +158,183 @@ def carafe(x, kernels, up_factor: int = 2, k_up: int = 5):
     # upsample patches to high-res grid (nearest: parent pixel)
     patches = jnp.repeat(jnp.repeat(patches, up_factor, 1), up_factor, 2)
     return (patches * kernels[..., None]).sum(3)
+
+
+def deform_roi_pool(feats, rois, trans, out_size: int, spatial_scale: float,
+                    out_channels: int, no_trans: bool, group_size: int = 1,
+                    part_size: int | None = None, sample_per_part: int = 4,
+                    trans_std: float = 0.0):
+    """Deformable PS-RoI pooling (deform_pool_cuda_kernel.cu:53-139 /
+    deform_pool.py:11 `deform_roi_pooling`).
+
+    Per output cell (ctop, ph, pw): average of a sample_per_part^2 bilinear
+    sample grid inside the bin, the whole bin shifted by a learned per-part
+    normalized offset (trans * trans_std * roi_size), reading the
+    position-sensitive channel (ctop*G + gh)*G + gw. Out-of-image samples
+    are skipped (count-normalized mean), matching the CUDA kernel's
+    `continue` + `count` bookkeeping.
+
+    Args:
+      feats: (B, H, W, C) with C == out_channels * group_size**2.
+      rois: (R, 5) [batch_idx, x1, y1, x2, y2] in input coords.
+      trans: (R, num_classes*2, part_size, part_size) offsets, layout as the
+        reference's NCHW trans tensor ((cls, {x,y}) interleaved on axis 1);
+        ignored when no_trans.
+      out_size/group_size/part_size/sample_per_part/trans_std: as reference
+        (part_size defaults to out_size, deform_pool.py:36).
+    Returns:
+      (R, out_size, out_size, out_channels)  [NHWC view of the CUDA
+      (R, out_channels, P, P) output].
+    """
+    if part_size is None:
+        part_size = out_size
+    h, w, _ = feats.shape[1:]
+    p, s, d, g = out_size, sample_per_part, out_channels, group_size
+    if no_trans:
+        num_classes = 1
+        trans = jnp.zeros((rois.shape[0], 2, part_size, part_size),
+                          feats.dtype)
+    else:
+        num_classes = trans.shape[1] // 2
+    ch_each = d // num_classes
+
+    # roi box: rounded coords, half-pixel shift (kernel :84-87)
+    start_w = jnp.round(rois[:, 1]) * spatial_scale - 0.5
+    start_h = jnp.round(rois[:, 2]) * spatial_scale - 0.5
+    end_w = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    end_h = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
+    roi_w = jnp.maximum(end_w - start_w, 0.1)
+    roi_h = jnp.maximum(end_h - start_h, 0.1)
+
+    ph = jnp.arange(p)
+    part_h = jnp.floor(ph.astype(feats.dtype) / p * part_size).astype(jnp.int32)
+    gh = jnp.clip(jnp.floor(ph.astype(feats.dtype) * g / p), 0, g - 1).astype(jnp.int32)
+    cls_id = jnp.arange(d) // ch_each                       # (D,)
+    # position-sensitive source channel (kernel :131); the output is square
+    # (deform_pool.py:28 asserts out_h == out_w) so gw(pw) == gh evaluated
+    # at pw and one index vector serves both axes.
+    chan = (jnp.arange(d)[:, None, None] * g + gh[None, :, None]) * g \
+        + gh[None, None, :]                                  # (D, P, P)
+
+    def per_roi(bidx, sw, sh, rw, rh, tr):
+        feat = feats[bidx]                                   # (H, W, C)
+        bin_w, bin_h = rw / p, rh / p
+        sub_w, sub_h = bin_w / s, bin_h / s
+        tr = tr.reshape(num_classes, 2, part_size, part_size)
+        tx = tr[cls_id[:, None, None], 0, part_h[None, :, None],
+                part_h[None, None, :]] * trans_std            # (D, P, P)
+        ty = tr[cls_id[:, None, None], 1, part_h[None, :, None],
+                part_h[None, None, :]] * trans_std
+        wstart = ph[None, None, :] * bin_w + sw + tx * rw     # (D, P, P)
+        hstart = ph[None, :, None] * bin_h + sh + ty * rh
+        xs = wstart[..., None, None] + jnp.arange(s)[None, None, None, None, :] * sub_w
+        ys = hstart[..., None, None] + jnp.arange(s)[None, None, None, :, None] * sub_h
+        valid = ((xs >= -0.5) & (xs <= w - 0.5) &
+                 (ys >= -0.5) & (ys <= h - 0.5))              # (D,P,P,S,S)
+        xc = jnp.clip(xs, 0.0, w - 1.0)
+        yc = jnp.clip(ys, 0.0, h - 1.0)
+        # bilinear with floor/ceil corners (kernel bilinear_interp :30-50)
+        x0 = jnp.floor(xc); x1i = jnp.ceil(xc)
+        y0 = jnp.floor(yc); y1i = jnp.ceil(yc)
+        dx = xc - x0
+        dy = yc - y0
+        cb = chan[..., None, None]                            # (D,P,P,1,1)
+        def at(yy, xx):
+            return feat[yy.astype(jnp.int32), xx.astype(jnp.int32), cb]
+        val = ((1 - dx) * (1 - dy) * at(y0, x0) + (1 - dx) * dy * at(y1i, x0)
+               + dx * (1 - dy) * at(y0, x1i) + dx * dy * at(y1i, x1i))
+        val = jnp.where(valid, val, 0.0)
+        cnt = valid.sum((-1, -2))
+        out = jnp.where(cnt > 0, val.sum((-1, -2)) / jnp.maximum(cnt, 1), 0.0)
+        return out.transpose(1, 2, 0)                         # (P, P, D)
+
+    return jax.vmap(per_roi)(rois[:, 0].astype(jnp.int32), start_w, start_h,
+                             roi_w, roi_h, trans)
+
+
+class DeformRoIPoolingPack(_nn.Module):
+    """deform_pool.py:111 DeformRoIPoolingPack: a first no-trans PS-RoI pool
+    feeds an FC stack that predicts one (x, y) offset per output cell
+    (zero-init last layer -> starts as plain PS-RoI pooling), then the
+    deformable pool runs with those offsets.
+
+    Call: (feats (B,H,W,C), rois (R,5)) -> (R, P, P, out_channels).
+    """
+    spatial_scale: float
+    out_size: int
+    out_channels: int
+    no_trans: bool = False
+    group_size: int = 1
+    sample_per_part: int = 4
+    trans_std: float = 0.0
+    num_offset_fcs: int = 3
+    deform_fc_channels: int = 1024
+
+    @_nn.compact
+    def __call__(self, feats, rois):
+        p, d = self.out_size, self.out_channels
+        pool = lambda tr, nt: deform_roi_pool(
+            feats, rois, tr, p, self.spatial_scale, d, nt,
+            group_size=self.group_size, sample_per_part=self.sample_per_part,
+            trans_std=self.trans_std)
+        if self.no_trans:
+            return pool(None, True)
+        x = pool(None, True).reshape(rois.shape[0], -1)
+        for i in range(self.num_offset_fcs):
+            last = i == self.num_offset_fcs - 1
+            x = _nn.Dense(p * p * 2 if last else self.deform_fc_channels,
+                          kernel_init=_nn.initializers.zeros if last else
+                          _nn.initializers.lecun_normal(),
+                          bias_init=_nn.initializers.zeros)(x)
+            if not last:
+                x = jax.nn.relu(x)
+        trans = x.reshape(rois.shape[0], 2, p, p)
+        return pool(trans, False)
+
+
+class ModulatedDeformRoIPoolingPack(_nn.Module):
+    """deform_pool.py:176 ModulatedDeformRoIPoolingPack: DeformRoIPoolingPack
+    plus a second FC stack predicting a per-cell sigmoid mask (zero-init ->
+    starts at 0.5) that scales the pooled output."""
+    spatial_scale: float
+    out_size: int
+    out_channels: int
+    no_trans: bool = False
+    group_size: int = 1
+    sample_per_part: int = 4
+    trans_std: float = 0.0
+    num_offset_fcs: int = 3
+    num_mask_fcs: int = 2
+    deform_fc_channels: int = 1024
+
+    @_nn.compact
+    def __call__(self, feats, rois):
+        p, d = self.out_size, self.out_channels
+        pool = lambda tr, nt: deform_roi_pool(
+            feats, rois, tr, p, self.spatial_scale, d, nt,
+            group_size=self.group_size, sample_per_part=self.sample_per_part,
+            trans_std=self.trans_std)
+        if self.no_trans:
+            return pool(None, True)
+        n = rois.shape[0]
+        flat = pool(None, True).reshape(n, -1)
+        x = flat
+        for i in range(self.num_offset_fcs):
+            last = i == self.num_offset_fcs - 1
+            x = _nn.Dense(p * p * 2 if last else self.deform_fc_channels,
+                          kernel_init=_nn.initializers.zeros if last else
+                          _nn.initializers.lecun_normal(),
+                          bias_init=_nn.initializers.zeros)(x)
+            if not last:
+                x = jax.nn.relu(x)
+        trans = x.reshape(n, 2, p, p)
+        m = flat
+        for i in range(self.num_mask_fcs):
+            last = i == self.num_mask_fcs - 1
+            m = _nn.Dense(p * p if last else self.deform_fc_channels,
+                          kernel_init=_nn.initializers.zeros if last else
+                          _nn.initializers.lecun_normal(),
+                          bias_init=_nn.initializers.zeros)(m)
+            m = jax.nn.sigmoid(m) if last else jax.nn.relu(m)
+        mask = m.reshape(n, p, p, 1)
+        return pool(trans, False) * mask

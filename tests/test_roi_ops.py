@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from sipmask_tpu.ops import (roi_align, roi_pool, grid_sample,
-                             masked_conv2d, carafe)
+                             masked_conv2d, carafe, deform_roi_pool)
 
 
 def _bilinear_np(feat, y, x):
@@ -119,3 +119,125 @@ class TestCarafe:
                 want = xp[0, sy:sy + 3, sx:sx + 3].reshape(-1, 2).mean(0)
                 np.testing.assert_allclose(got[0, hy, hx], want, rtol=1e-4,
                                            atol=1e-5)
+
+
+class TestDeformRoIPool:
+    """Oracle: direct numpy transcription of DeformablePSROIPoolForwardKernel
+    (deform_pool_cuda_kernel.cu:53-139)."""
+
+    @staticmethod
+    def _oracle(feats, rois, trans, P, scale, D, no_trans, G, part, S, std):
+        _, H, W, _ = feats.shape
+        R = rois.shape[0]
+        num_classes = 1 if no_trans else trans.shape[1] // 2
+        ch_each = D // num_classes
+        out = np.zeros((R, D, P, P), np.float32)
+        for n in range(R):
+            b = int(rois[n, 0])
+            sw = round(float(rois[n, 1])) * scale - 0.5
+            sh = round(float(rois[n, 2])) * scale - 0.5
+            ew = (round(float(rois[n, 3])) + 1.0) * scale - 0.5
+            eh = (round(float(rois[n, 4])) + 1.0) * scale - 0.5
+            rw, rh = max(ew - sw, 0.1), max(eh - sh, 0.1)
+            bw, bh = rw / P, rh / P
+            subw, subh = bw / S, bh / S
+            for ctop in range(D):
+                cls = ctop // ch_each
+                for ph in range(P):
+                    for pw in range(P):
+                        part_h = int(np.floor(ph / P * part))
+                        part_w = int(np.floor(pw / P * part))
+                        tx = 0.0 if no_trans else \
+                            trans[n, cls * 2, part_h, part_w] * std
+                        ty = 0.0 if no_trans else \
+                            trans[n, cls * 2 + 1, part_h, part_w] * std
+                        ws = pw * bw + sw + tx * rw
+                        hs = ph * bh + sh + ty * rh
+                        gw = min(max(int(np.floor(pw * G / P)), 0), G - 1)
+                        gh = min(max(int(np.floor(ph * G / P)), 0), G - 1)
+                        c = (ctop * G + gh) * G + gw
+                        acc, cnt = 0.0, 0
+                        for ih in range(S):
+                            for iw in range(S):
+                                x = ws + iw * subw
+                                y = hs + ih * subh
+                                if x < -0.5 or x > W - 0.5 or \
+                                   y < -0.5 or y > H - 0.5:
+                                    continue
+                                x = min(max(x, 0.0), W - 1.0)
+                                y = min(max(y, 0.0), H - 1.0)
+                                x0, x1 = int(np.floor(x)), int(np.ceil(x))
+                                y0, y1 = int(np.floor(y)), int(np.ceil(y))
+                                dx, dy = x - x0, y - y0
+                                f = feats[b, :, :, c]
+                                acc += ((1 - dx) * (1 - dy) * f[y0, x0]
+                                        + (1 - dx) * dy * f[y1, x0]
+                                        + dx * (1 - dy) * f[y0, x1]
+                                        + dx * dy * f[y1, x1])
+                                cnt += 1
+                        out[n, ctop, ph, pw] = acc / cnt if cnt else 0.0
+        return out
+
+    def test_with_trans_and_groups(self):
+        rng = np.random.RandomState(3)
+        P, D, G, S, std, scale = 3, 4, 2, 2, 0.1, 0.5
+        C = D * G * G
+        feats = rng.randn(2, 12, 14, C).astype(np.float32)
+        rois = np.array([[0, 2.0, 2.0, 20.0, 16.0],
+                         [1, -4.0, 1.0, 30.0, 30.0],   # extends past image
+                         [0, 6.3, 7.8, 9.2, 11.9]], np.float32)
+        trans = (rng.randn(3, 2, P, P) * 2).astype(np.float32)  # 1 class
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), jnp.asarray(trans),
+            P, scale, D, False, group_size=G, sample_per_part=S,
+            trans_std=std))
+        want = self._oracle(feats, rois, trans, P, scale, D, False, G, P, S,
+                            std).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_no_trans_multiclass_channels(self):
+        rng = np.random.RandomState(4)
+        P, D, S, scale = 4, 6, 3, 0.25
+        feats = rng.randn(1, 10, 10, D).astype(np.float32)
+        rois = np.array([[0, 0.0, 0.0, 36.0, 36.0]], np.float32)
+        got = np.asarray(deform_roi_pool(
+            jnp.asarray(feats), jnp.asarray(rois), None, P, scale, D, True,
+            sample_per_part=S))
+        want = self._oracle(feats, rois, None, P, scale, D, True, 1, P, S,
+                            0.0).transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_grad_flows_to_trans(self):
+        import jax
+        rng = np.random.RandomState(5)
+        feats = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+        rois = jnp.asarray(np.array([[0, 1.0, 1.0, 6.0, 6.0]], np.float32))
+        trans = jnp.asarray(rng.randn(1, 2, 2, 2).astype(np.float32) * 0.1)
+        g = jax.grad(lambda t: deform_roi_pool(
+            feats, rois, t, 2, 1.0, 2, False, trans_std=0.5).sum())(trans)
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestDeformRoIPoolingPack:
+    def test_zero_init_equals_plain_psroi(self):
+        """Zero-init offset FC -> Pack output == no-trans pooling
+        (deform_pool.py:144-145 zero-inits the last FC)."""
+        import jax
+        from sipmask_tpu.ops.roi import (DeformRoIPoolingPack,
+                                         ModulatedDeformRoIPoolingPack)
+        rng = np.random.RandomState(0)
+        feats = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+        rois = jnp.asarray(np.array([[0, 2, 2, 12, 12]], np.float32))
+        plain = deform_roi_pool(feats, rois, None, 7, 0.5, 4, True)
+        m = DeformRoIPoolingPack(spatial_scale=0.5, out_size=7,
+                                 out_channels=4, trans_std=0.1)
+        out = m.apply(m.init(jax.random.PRNGKey(0), feats, rois), feats, rois)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                                   rtol=1e-6, atol=1e-6)
+        mm = ModulatedDeformRoIPoolingPack(spatial_scale=0.5, out_size=7,
+                                           out_channels=4, trans_std=0.1)
+        out2 = mm.apply(mm.init(jax.random.PRNGKey(0), feats, rois),
+                        feats, rois)
+        # zero-init mask FC -> sigmoid(0) = 0.5 scaling
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(plain) * 0.5,
+                                   rtol=1e-6, atol=1e-6)
