@@ -401,3 +401,48 @@ class TestPallasDeformGather:
                                        rtol=2e-2, atol=2e-2)
         finally:
             dg.Q_BLK, dg.P_BLK = old_q, old_p
+
+
+class TestSampleDense:
+    """sample_dense (small-level XLA path) vs sample_ref oracle."""
+
+    def test_matches_reference(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas.deform_gather import (sample_dense,
+                                                          sample_ref)
+        rng = np.random.RandomState(7)
+        n, k, h, w, cg = 4, 9, 9, 9, 8
+        p = h * w
+        x = jnp.asarray(rng.randn(n, p, cg).astype(np.float32))
+        base = np.tile(np.arange(p), (n, k, 1)).astype(np.float32)
+        py = base // w + rng.randn(n, k, p) * 2.0   # incl. out-of-bounds
+        px = base % w + rng.randn(n, k, p) * 2.0
+        pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
+        got = sample_dense(x, pyx, h, w)
+        want = sample_ref(x, pyx, h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_reference(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas.deform_gather import (sample_dense,
+                                                          sample_ref)
+        rng = np.random.RandomState(8)
+        n, k, h, w, cg = 2, 4, 7, 7, 4
+        p = h * w
+        x = jnp.asarray(rng.randn(n, p, cg).astype(np.float32))
+        base = np.tile(np.arange(p), (n, k, 1)).astype(np.float32)
+        # keep positions strictly non-integer so tent' is unambiguous
+        py = base // w + rng.uniform(0.1, 0.9, (n, k, p))
+        px = base % w + rng.uniform(0.1, 0.9, (n, k, p))
+        pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        dx1, dp1 = jax.vjp(lambda a, b: sample_dense(a, b, h, w), x, pyx)[1](g)
+        dx2, dp2 = jax.vjp(lambda a, b: sample_ref(a, b, h, w), x, pyx)[1](g)
+        np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp2),
+                                   rtol=1e-4, atol=1e-4)
