@@ -446,3 +446,47 @@ class TestSampleDense:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(dp1), np.asarray(dp2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPallasMaskAssembly:
+    def test_interpret_matches_assemble_masks(self):
+        """Fused Pallas SP assembly (interpret on CPU) == XLA colmix path,
+        including n % 128 != 0 lane padding and h*w % tile != 0 row padding."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.crop_split import assemble_masks
+        from sipmask_tpu.ops.pallas.mask_assembly import assemble_masks_pallas
+        rng = np.random.RandomState(3)
+        b, h, w, nb, n = 2, 24, 20, 8, 5
+        basis = jnp.asarray(rng.randn(b, h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(b, n, 4 * nb).astype(np.float32))
+        bx = (rng.rand(b, n, 4) * np.array([w, h, w, h])).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate(
+            [np.minimum(bx[..., :2], bx[..., 2:]),
+             np.maximum(bx[..., :2], bx[..., 2:])], -1))
+        want = jax.vmap(assemble_masks)(basis, cofs, boxes)
+        got = assemble_masks_pallas(basis, cofs, boxes, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_interpret_degenerate_and_full_boxes(self):
+        """Zero-area boxes produce all-zero masks; a full-grid box keeps
+        every pixel and matches the reference quadrant split exactly."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.crop_split import assemble_masks
+        from sipmask_tpu.ops.pallas.mask_assembly import assemble_masks_pallas
+        rng = np.random.RandomState(4)
+        b, h, w, nb = 1, 16, 16, 8
+        basis = jnp.asarray(rng.randn(b, h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(b, 2, 4 * nb).astype(np.float32))
+        boxes = jnp.asarray(np.array(
+            [[[5.0, 5.0, 5.0, 5.0], [0.0, 0.0, 16.0, 16.0]]], np.float32))
+        want = jax.vmap(assemble_masks)(basis, cofs, boxes)
+        got = assemble_masks_pallas(basis, cofs, boxes, h, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        assert float(jnp.abs(got[0, :, :, 0]).max()) == 0.0
+        assert float((got[0, :, :, 1] > 0).mean()) == 1.0
