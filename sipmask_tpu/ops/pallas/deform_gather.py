@@ -120,16 +120,27 @@ def sample_ref(x_rows, pyx, h, w):
 
 def _tile_ranges(pyxp, h, w, n, k, pb, q_blk):
     """Contiguous [lo, hi] q-tile range per (n, p-block, tap), interleaved
-    into a flat (N*PB*K*2,) int32 array for scalar-prefetch."""
+    into a flat (N*PB*K*2,) int32 array for scalar-prefetch.
+
+    Padded positions (marked -2 by _prep) are excluded from the min/max:
+    clipping them to corner (0, 0) would stretch the final p-block's range
+    to [tile 0, last tile] — at 800x1344 that made the tail block dense
+    (33 tiles) instead of ~3. A fully-padded block gets lo > hi and the
+    kernel's tile loop never fires (its acc stays zero, which is correct).
+    """
     py, px = pyxp[..., 0], pyxp[..., 1]
+    real = py > -1.5                                       # -2 marks padding
     y0 = jnp.clip(jnp.floor(py), 0, h - 1)
     x0 = jnp.clip(jnp.floor(px), 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     q_lo = (y0 * w + x0).astype(jnp.int32)
     q_hi = (y1 * w + x1).astype(jnp.int32)
-    t_lo = (q_lo // q_blk).reshape(n, k, pb, -1).min(-1)   # (N, K, PB)
-    t_hi = (q_hi // q_blk).reshape(n, k, pb, -1).max(-1)
+    big = jnp.int32(2 ** 30)
+    t_lo = jnp.where(real, q_lo // q_blk, big
+                     ).reshape(n, k, pb, -1).min(-1)       # (N, K, PB)
+    t_hi = jnp.where(real, q_hi // q_blk, -1
+                     ).reshape(n, k, pb, -1).max(-1)
     rng = jnp.stack([t_lo, t_hi], -1)                      # (N, K, PB, 2)
     return rng.transpose(0, 2, 1, 3).reshape(-1)
 
@@ -179,24 +190,31 @@ def _prep(x_rows, pyx, g=None):
 
 def _fwd_kernel(rng_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
                 qt_n, k_n, pb_n, w):
+    """Per (n, p-block): for each tap, a fori_loop over the ACTIVE q-tile
+    range only. A dynamic-trip loop (not an unrolled chain of pl.when
+    regions): at 800x1344 qt_n=33 unrolled regions x 9 taps made the
+    kernel instruction-bound — the same work ran 3.2x faster (66 -> 21ms)
+    as one loop body with a pl.ds slice."""
     import jax.experimental.pallas as pl
 
+    del qt_n
     bn, bp = pl.program_id(0), pl.program_id(1)
     for t in range(k_n):
-        acc_ref[...] = jnp.zeros_like(acc_ref)
         py = pyx_ref[0, :, 2 * t:2 * t + 1]      # (P_BLK, 1) f32
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
         base = ((bn * pb_n + bp) * k_n + t) * 2
         lo, hi = rng_ref[base], rng_ref[base + 1]
-        for qt in range(qt_n):
-            @pl.when((qt >= lo) & (qt <= hi))
-            def _(qt=qt):
-                q0 = qt * Q_BLK
-                qy, qx = _grid_coords(q0, Q_BLK, w)
-                s = (_tent(qy - py) * _tent(qx - px)).astype(x_ref.dtype)
-                acc_ref[...] += jnp.dot(
-                    s, x_ref[0, q0:q0 + Q_BLK, :],
-                    preferred_element_type=jnp.float32)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(qt, carry):
+            q0 = qt * Q_BLK
+            qy, qx = _grid_coords(q0, Q_BLK, w)
+            s = (_tent(qy - py) * _tent(qx - px)).astype(x_ref.dtype)
+            acc_ref[...] += jnp.dot(s, x_ref[0, pl.ds(q0, Q_BLK), :],
+                                    preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(lo, hi + 1, body, 0)
         out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -234,8 +252,10 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
 
 def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
                      qt_n, k_n, pb_n, w):
+    """Position gradients; same dynamic-trip banded loop as the forward."""
     import jax.experimental.pallas as pl
 
+    del qt_n
     bn, bp = pl.program_id(0), pl.program_id(1)
     for t in range(k_n):
         py = pyx_ref[0, :, 2 * t:2 * t + 1]
@@ -243,20 +263,66 @@ def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
         g = g_ref[0, t]                          # (P_BLK, Cg)
         base = ((bn * pb_n + bp) * k_n + t) * 2
         lo, hi = rng_ref[base], rng_ref[base + 1]
-        dpyx_ref[0, :, 2 * t:2 * t + 2] = jnp.zeros_like(
-            dpyx_ref[0, :, 2 * t:2 * t + 2])
-        for qt in range(qt_n):
-            @pl.when((qt >= lo) & (qt <= hi))
-            def _(qt=qt, py=py, px=px, g=g, t=t):
-                q0 = qt * Q_BLK
-                qy, qx = _grid_coords(q0, Q_BLK, w)
-                uy, ux = qy - py, qx - px
-                m = jnp.dot(g, x_ref[0, q0:q0 + Q_BLK, :].T,
-                            preferred_element_type=jnp.float32)
-                dpyx_ref[0, :, 2 * t:2 * t + 1] += (
-                    _dtent(uy) * _tent(ux) * m).sum(1, keepdims=True)
-                dpyx_ref[0, :, 2 * t + 1:2 * t + 2] += (
-                    _tent(uy) * _dtent(ux) * m).sum(1, keepdims=True)
+
+        def body(qt, carry, py=py, px=px, g=g):
+            dy, dx = carry
+            q0 = qt * Q_BLK
+            qy, qx = _grid_coords(q0, Q_BLK, w)
+            uy, ux = qy - py, qx - px
+            m = jnp.dot(g, x_ref[0, pl.ds(q0, Q_BLK), :].T,
+                        preferred_element_type=jnp.float32)
+            dy = dy + (_dtent(uy) * _tent(ux) * m).sum(1, keepdims=True)
+            dx = dx + (_tent(uy) * _dtent(ux) * m).sum(1, keepdims=True)
+            return dy, dx
+
+        zero = jnp.zeros((py.shape[0], 1), jnp.float32)
+        dy, dx = jax.lax.fori_loop(lo, hi + 1, body, (zero, zero))
+        dpyx_ref[0, :, 2 * t:2 * t + 1] = dy
+        dpyx_ref[0, :, 2 * t + 1:2 * t + 2] = dx
+
+
+def _bwd_dx_resident_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *,
+                            k_n, pb_n, w):
+    """dX with the whole level VMEM-resident: grid (n, p-block), the dx
+    block has a constant index per n so it stays resident across all
+    p-blocks, and each tap scatter-adds its active q-tiles through a
+    dynamic slice. The TPU pallas grid runs sequentially, so the
+    read-modify-write accumulation is race-free. Replaces the transposed
+    (n, q-tile, p-block) grid whose n*qt_n*pb steps were nearly all
+    inactive at large levels (800x1344 P3: 34848 steps of overhead);
+    that kernel (_bwd_dx_kernel) remains the fallback when the level
+    does not fit the VMEM budget."""
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(bp == 0)
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    for t in range(k_n):
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        g = g_ref[0, t]                          # (P_BLK, Cg)
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
+
+        def body(qt, carry, py=py, px=px, g=g):
+            q0 = qt * Q_BLK
+            qy, qx = _grid_coords(q0, Q_BLK, w)
+            s = (_tent(qy - py) * _tent(qx - px)).astype(g.dtype)
+            dx_ref[0, pl.ds(q0, Q_BLK), :] += jnp.dot(
+                s.T, g, preferred_element_type=jnp.float32
+            ).astype(dx_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(lo, hi + 1, body, 0)
+
+
+# VMEM budget for the resident-dX block (f32): one P3 level at 800x1344
+# with cg=64 is 4.3MB; the backbone DCN stages (cg=128) reach ~8.6MB. The
+# pipeline needs headroom for the g block + pyx + double buffering.
+DX_RESIDENT_MAX_BYTES = 10 * 1024 * 1024
 
 
 def _bwd_dx_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *, k_n, pb_n, w):
@@ -317,25 +383,46 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
     )(ranges, pyx_packed, xp, gp)
     dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
 
-    dx_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n, qt_n, pb),
-        in_specs=[
-            pl.BlockSpec((1, P_BLK, 2 * k),
-                         lambda bn, bq, bp, *_: (bn, bp, 0)),
-            pl.BlockSpec((1, k, P_BLK, cg),
-                         lambda bn, bq, bp, *_: (bn, 0, bp, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, Q_BLK, cg),
-                               lambda bn, bq, bp, *_: (bn, bq, 0)),
-    )
-    dx = pl.pallas_call(
-        functools.partial(_bwd_dx_kernel, k_n=k, pb_n=pb, w=w),
-        out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
-        grid_spec=dx_spec,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(ranges, pyx_packed, gp)
+    if qpad * cg * 4 <= DX_RESIDENT_MAX_BYTES:
+        dx_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, pb),
+            in_specs=[
+                pl.BlockSpec((1, P_BLK, 2 * k),
+                             lambda bn, bp, *_: (bn, bp, 0)),
+                pl.BlockSpec((1, k, P_BLK, cg),
+                             lambda bn, bp, *_: (bn, 0, bp, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, qpad, cg),
+                                   lambda bn, bp, *_: (bn, 0, 0)),
+        )
+        dx = pl.pallas_call(
+            functools.partial(_bwd_dx_resident_kernel, k_n=k, pb_n=pb, w=w),
+            out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
+            grid_spec=dx_spec,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(ranges, pyx_packed, gp)
+    else:
+        dx_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, qt_n, pb),
+            in_specs=[
+                pl.BlockSpec((1, P_BLK, 2 * k),
+                             lambda bn, bq, bp, *_: (bn, bp, 0)),
+                pl.BlockSpec((1, k, P_BLK, cg),
+                             lambda bn, bq, bp, *_: (bn, 0, bp, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Q_BLK, cg),
+                                   lambda bn, bq, bp, *_: (bn, bq, 0)),
+        )
+        dx = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel, k_n=k, pb_n=pb, w=w),
+            out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
+            grid_spec=dx_spec,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(ranges, pyx_packed, gp)
     return dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :]
 
 
