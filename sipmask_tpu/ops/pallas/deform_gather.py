@@ -281,17 +281,21 @@ def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
         dpyx_ref[0, :, 2 * t + 1:2 * t + 2] = dx
 
 
-def _bwd_dx_resident_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *,
-                            k_n, pb_n, w):
-    """dX with the whole level VMEM-resident: grid (n, p-block), the dx
-    block has a constant index per n so it stays resident across all
-    p-blocks, and each tap scatter-adds its active q-tiles through a
-    dynamic slice. The TPU pallas grid runs sequentially, so the
-    read-modify-write accumulation is race-free. Replaces the transposed
-    (n, q-tile, p-block) grid whose n*qt_n*pb steps were nearly all
-    inactive at large levels (800x1344 P3: 34848 steps of overhead);
-    that kernel (_bwd_dx_kernel) remains the fallback when the level
-    does not fit the VMEM budget."""
+# VMEM budget for the resident-dX block (f32): one P3 level at 800x1344
+# with cg=64 is 4.3MB; the backbone DCN stages (cg=128) reach ~8.6MB. The
+# pipeline needs headroom for the g block + pyx + double buffering.
+DX_RESIDENT_MAX_BYTES = 10 * 1024 * 1024
+
+
+def _bwd_fused_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, dx_ref, *,
+                      k_n, pb_n, w):
+    """Fused backward: dpyx and level-resident dX in ONE banded pass.
+
+    Both gradients iterate exactly the same active q-tiles per (p-block,
+    tap); fusing them builds each tile's tent factors once and reads each
+    x tile once instead of twice. Used whenever the resident-dX block fits
+    the VMEM budget (the common case); otherwise the two split kernels run.
+    """
     import jax.experimental.pallas as pl
 
     bn, bp = pl.program_id(0), pl.program_id(1)
@@ -308,21 +312,25 @@ def _bwd_dx_resident_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *,
         lo, hi = rng_ref[base], rng_ref[base + 1]
 
         def body(qt, carry, py=py, px=px, g=g):
+            dy, dx = carry
             q0 = qt * Q_BLK
             qy, qx = _grid_coords(q0, Q_BLK, w)
-            s = (_tent(qy - py) * _tent(qx - px)).astype(g.dtype)
+            uy, ux = qy - py, qx - px
+            ty, tx = _tent(uy), _tent(ux)
+            s = (ty * tx).astype(g.dtype)
             dx_ref[0, pl.ds(q0, Q_BLK), :] += jnp.dot(
                 s.T, g, preferred_element_type=jnp.float32
             ).astype(dx_ref.dtype)
-            return carry
+            m = jnp.dot(g, x_ref[0, pl.ds(q0, Q_BLK), :].T,
+                        preferred_element_type=jnp.float32)
+            dy = dy + (_dtent(uy) * tx * m).sum(1, keepdims=True)
+            dx = dx + (ty * _dtent(ux) * m).sum(1, keepdims=True)
+            return dy, dx
 
-        jax.lax.fori_loop(lo, hi + 1, body, 0)
-
-
-# VMEM budget for the resident-dX block (f32): one P3 level at 800x1344
-# with cg=64 is 4.3MB; the backbone DCN stages (cg=128) reach ~8.6MB. The
-# pipeline needs headroom for the g block + pyx + double buffering.
-DX_RESIDENT_MAX_BYTES = 10 * 1024 * 1024
+        zero = jnp.zeros((py.shape[0], 1), jnp.float32)
+        dy, dx = jax.lax.fori_loop(lo, hi + 1, body, (zero, zero))
+        dpyx_ref[0, :, 2 * t:2 * t + 1] = dy
+        dpyx_ref[0, :, 2 * t + 1:2 * t + 2] = dx
 
 
 def _bwd_dx_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *, k_n, pb_n, w):
@@ -363,47 +371,55 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
     pyx_packed = _pack_pyx(pyxp, n, ppad, k)
     gp = gp.astype(x_rows.dtype)
 
-    dpyx_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n, pb),
-        in_specs=[
-            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
-            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
-            pl.BlockSpec((1, k, P_BLK, cg), lambda bn, bp, *_: (bn, 0, bp, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, P_BLK, 2 * k),
-                               lambda bn, bp, *_: (bn, bp, 0)),
-    )
-    dpyx = pl.pallas_call(
-        functools.partial(_bwd_dpyx_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
-        out_shape=jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
-        grid_spec=dpyx_spec,
-        compiler_params=None if interpret else _compiler_params(),
-        interpret=interpret,
-    )(ranges, pyx_packed, xp, gp)
-    dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
-
     if qpad * cg * 4 <= DX_RESIDENT_MAX_BYTES:
-        dx_spec = pltpu.PrefetchScalarGridSpec(
+        fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n, pb),
             in_specs=[
                 pl.BlockSpec((1, P_BLK, 2 * k),
                              lambda bn, bp, *_: (bn, bp, 0)),
+                pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
                 pl.BlockSpec((1, k, P_BLK, cg),
                              lambda bn, bp, *_: (bn, 0, bp, 0)),
             ],
-            out_specs=pl.BlockSpec((1, qpad, cg),
-                                   lambda bn, bp, *_: (bn, 0, 0)),
+            out_specs=[
+                pl.BlockSpec((1, P_BLK, 2 * k),
+                             lambda bn, bp, *_: (bn, bp, 0)),
+                pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+            ],
         )
-        dx = pl.pallas_call(
-            functools.partial(_bwd_dx_resident_kernel, k_n=k, pb_n=pb, w=w),
-            out_shape=jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
-            grid_spec=dx_spec,
+        dpyx, dx = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, k_n=k, pb_n=pb, w=w),
+            out_shape=[jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
+                       jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32)],
+            grid_spec=fused_spec,
             compiler_params=None if interpret else _compiler_params(),
             interpret=interpret,
-        )(ranges, pyx_packed, gp)
+        )(ranges, pyx_packed, xp, gp)
+        dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
     else:
+        dpyx_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n, pb),
+            in_specs=[
+                pl.BlockSpec((1, P_BLK, 2 * k),
+                             lambda bn, bp, *_: (bn, bp, 0)),
+                pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+                pl.BlockSpec((1, k, P_BLK, cg),
+                             lambda bn, bp, *_: (bn, 0, bp, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, P_BLK, 2 * k),
+                                   lambda bn, bp, *_: (bn, bp, 0)),
+        )
+        dpyx = pl.pallas_call(
+            functools.partial(_bwd_dpyx_kernel, qt_n=qt_n, k_n=k, pb_n=pb,
+                              w=w),
+            out_shape=jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
+            grid_spec=dpyx_spec,
+            compiler_params=None if interpret else _compiler_params(),
+            interpret=interpret,
+        )(ranges, pyx_packed, xp, gp)
+        dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
         dx_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n, qt_n, pb),

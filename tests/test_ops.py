@@ -490,3 +490,38 @@ class TestPallasMaskAssembly:
                                    rtol=1e-6, atol=1e-6)
         assert float(jnp.abs(got[0, :, :, 0]).max()) == 0.0
         assert float((got[0, :, :, 1] > 0).mean()) == 1.0
+
+
+class TestDxKernelDispatch:
+    def test_fallback_transposed_dx_matches_resident(self, monkeypatch):
+        """Both dX backward kernels (level-resident and transposed-grid
+        fallback) produce the same gradients; the fallback is forced by
+        zeroing the VMEM budget."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.pallas import deform_gather as dg
+        rng = np.random.RandomState(11)
+        n, k, h, w, cg = 2, 4, 9, 8, 8
+        p = h * w
+        x = jnp.asarray(rng.randn(n, p, cg).astype(np.float32))
+        base = np.tile(np.arange(p), (n, k, 1)).astype(np.float32)
+        py = base // w + rng.randn(n, k, p)
+        px = base % w + rng.randn(n, k, p)
+        pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        dx_res, dp_res = dg._sample_pallas_bwd(x, pyx, g, h, w,
+                                               interpret=True)
+        monkeypatch.setattr(dg, "DX_RESIDENT_MAX_BYTES", 0)
+        dg._sample_pallas_bwd.clear_cache()
+        dx_fb, dp_fb = dg._sample_pallas_bwd(x, pyx, g, h, w, interpret=True)
+        dg._sample_pallas_bwd.clear_cache()
+        np.testing.assert_allclose(np.asarray(dx_res), np.asarray(dx_fb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dp_res), np.asarray(dp_fb),
+                                   rtol=1e-5, atol=1e-5)
+        # and both match autodiff of the XLA reference
+        _, vjp = jax.vjp(lambda a, b: dg.sample_ref(a, b, h, w), x, pyx)
+        dx2, dp2 = vjp(g)
+        np.testing.assert_allclose(np.asarray(dx_res), np.asarray(dx2),
+                                   rtol=1e-4, atol=1e-4)
