@@ -186,6 +186,167 @@ def _prep(x_rows, pyx, g=None):
     return xp, pyxp, gp, (n, q, cg, k, p, qpad, ppad)
 
 
+# --------------------------------------- forward (separable row-window)
+
+# Static row-window height margin beyond the block's own row span: ws (the
+# window start) already absorbs downward offsets, so the margin must cover
+# block rows + 1 (corner) + the offset spread. Rows beyond the window are
+# handled EXACTLY by the per-tap residual loop (0 trips for typical
+# offsets; FeatureAlign offsets at trained convergence are a few pixels).
+ROW_MARGIN = 6
+# Use the separable kernel only while the whole (row-padded) level fits
+# VMEM comfortably; bigger levels take the banded kernel.
+XWIN_MAX_BYTES = 8 * 1024 * 1024
+
+
+def _row_ranges(pyxp, h, n, k, pb):
+    """Scalar-prefetch array for the separable kernel: first n*pb entries
+    are ws (per-block clamped window start row), then n*pb*k entries are
+    rowhi (per-block-per-tap max corner row). Padded positions (-2) are
+    excluded the same way as _tile_ranges."""
+    py = pyxp[..., 0]
+    real = py > -1.5
+    r_lo = jnp.clip(jnp.floor(py), 0, h - 1).astype(jnp.int32)
+    r_hi = jnp.clip(jnp.floor(py) + 1, 0, h - 1).astype(jnp.int32)
+    big = jnp.int32(2 ** 30)
+    lo_bt = jnp.where(real, r_lo, big).reshape(n, k, pb, -1).min(-1)
+    hi_bt = jnp.where(real, r_hi, -1).reshape(n, k, pb, -1).max(-1)
+    ws = lo_bt.min(1)                                     # (N, PB)
+    rowhi = hi_bt.transpose(0, 2, 1)                      # (N, PB, K)
+    return ws.reshape(-1), rowhi.reshape(-1)
+
+
+def _fwd_sep_kernel(scal_ref, pyx_ref, x_ref, out_ref, sx_ref, ty_ref,
+                    acc_ref, *, k_n, pb_n, wpad, r_n):
+    """Separable forward: one pixel-block per grid step.
+
+    The bilinear tent factorizes as tent_y * tent_x, so the block's work
+    becomes: build the per-tap column-tent matrix Sx (k*P_BLK, wpad) ONCE,
+    then for each of the R window rows one MXU dot (k*P_BLK, wpad) @
+    (wpad, cg) combined with the scalar row-tent — instead of per-tap
+    banded tile matmuls whose tent matrices span every column of ~R rows.
+    Same flops, much less VPU tent work; measured faster than the banded
+    kernel only for wide levels (K = wpad feeds the MXU poorly when w is
+    small — see _sep_eligible). A one-big-dot variant (K = R*wpad via an
+    S_big scratch) measured SLOWER (21.5 vs 16.0ms at 800x1344 P3): the
+    S_big build is VPU/scratch-write-bound. Rows beyond the static window
+    are added exactly by a per-tap fori_loop residual (0 trips for
+    typical offsets)."""
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    ws = scal_ref[bn * pb_n + bp]
+    qx = jax.lax.broadcasted_iota(jnp.int32, (1, wpad), 1
+                                  ).astype(jnp.float32)
+    p_blk = pyx_ref.shape[1]
+
+    for t in range(k_n):
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        sx_ref[t * p_blk:(t + 1) * p_blk, :] = _tent(qx - px).astype(
+            sx_ref.dtype)
+        rr = (jax.lax.broadcasted_iota(jnp.int32, (1, r_n), 1
+                                       ).astype(jnp.float32) +
+              ws.astype(jnp.float32))
+        ty_ref[t * p_blk:(t + 1) * p_blk, :] = _tent(rr - py)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for r in range(r_n):
+        row = x_ref[0, pl.ds((ws + r) * wpad, wpad), :]   # (wpad, cg)
+        m = jnp.dot(sx_ref[...], row, preferred_element_type=jnp.float32)
+        acc_ref[...] += ty_ref[:, r:r + 1] * m
+
+    # exact residual: rows past the window (per tap)
+    for t in range(k_n):
+        rowhi = scal_ref[pb_n * pl.num_programs(0) +
+                         ((bn * pb_n + bp) * k_n + t)]
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]
+
+        def body(r, carry, py=py, t=t):
+            row = x_ref[0, pl.ds(r * wpad, wpad), :]
+            m = jnp.dot(sx_ref[t * p_blk:(t + 1) * p_blk, :], row,
+                        preferred_element_type=jnp.float32)
+            acc_ref[t * p_blk:(t + 1) * p_blk, :] += _tent(
+                r.astype(jnp.float32) - py) * m
+            return carry
+
+        jax.lax.fori_loop(ws + r_n, rowhi + 1, body, 0)
+
+    for t in range(k_n):
+        out_ref[0, t] = acc_ref[t * p_blk:(t + 1) * p_blk, :].astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    # 16-row-multiple padding: bf16 VMEM tiles pack 2 sublanes, so dynamic
+    # sublane slice starts must be multiples of 16 to stay aligned.
+    wpad = -(-w // 16) * 16
+    r_n = -(-P_BLK // w) + ROW_MARGIN
+    ppad = -(-p // P_BLK) * P_BLK
+    pb = ppad // P_BLK
+
+    # row-pad x so every row slice starts 8-sublane-aligned for any w;
+    # padded columns are zero so any tent weight they carry contributes 0
+    # (same rule as out-of-bounds corners).
+    xw = x_rows.reshape(n, h, w, cg)
+    if wpad != w:
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, wpad - w), (0, 0)))
+    xw = xw.reshape(n, h * wpad, cg)
+
+    pyxp = _pad_to(pyx, ppad, 2)
+    if ppad != p:
+        mask = (jnp.arange(ppad) < p)[None, None, :, None]
+        pyxp = jnp.where(mask, pyxp, -2.0)
+    ws, rowhi = _row_ranges(pyxp.astype(jnp.float32), h, n, k, pb)
+    ws = jnp.clip(ws, 0, h - r_n)
+    scal = jnp.concatenate([ws, rowhi]).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, h * wpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, P_BLK, cg),
+                               lambda bn, bp, *_: (bn, 0, bp, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((k * P_BLK, wpad), x_rows.dtype),
+            pltpu.VMEM((k * P_BLK, r_n), jnp.float32),
+            pltpu.VMEM((k * P_BLK, cg), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_sep_kernel, k_n=k, pb_n=pb, wpad=wpad,
+                          r_n=r_n),
+        out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(scal, _pack_pyx(pyxp, n, ppad, k), xw)
+    return out[:, :, :p, :]
+
+
+def _sep_eligible(h, w, cg, xbytes, k):
+    wpad = -(-w // 16) * 16
+    r_n = -(-P_BLK // w) + ROW_MARGIN
+    # measured crossover on v5e with trained-scale offsets (sigma~1px): the
+    # separable kernel wins only when the row width feeds the MXU
+    # contraction decently (800x1344 P3 w=168: 16.3 vs 18.6ms banded;
+    # 544^2 P3 w=68: 10.1 vs 8.6 -> banded keeps it). At zero offsets
+    # (random init) banded's data-dependent tile skip makes the two equal
+    # end-to-end; the gate is set for the trained-offset regime.
+    return (w >= 128 and h >= r_n and
+            h * wpad * cg * xbytes <= XWIN_MAX_BYTES and
+            k * P_BLK * wpad * xbytes <= XWIN_MAX_BYTES)
+
+
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(rng_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
@@ -466,8 +627,12 @@ def sample_dense(x_rows, pyx, h, w):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _sample_banded(x_rows, pyx, h, w):
-    """Large-level path: banded Pallas kernel on TPU / XLA gather elsewhere."""
+    """Large-level path: separable row-window kernel when the level fits
+    VMEM (the common case), banded kernel otherwise; XLA gather off-TPU."""
     if pallas_available():
+        if _sep_eligible(h, w, x_rows.shape[-1], x_rows.dtype.itemsize,
+                         pyx.shape[1]):
+            return _sample_pallas_sep(x_rows, pyx, h, w)
         return _sample_pallas(x_rows, pyx, h, w)
     return sample_ref(x_rows, pyx, h, w)
 

@@ -525,3 +525,43 @@ class TestDxKernelDispatch:
         dx2, dp2 = vjp(g)
         np.testing.assert_allclose(np.asarray(dx_res), np.asarray(dx2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPallasSepDeformGather:
+    def _mk(self, seed, n, k, h, w, cg, off_scale):
+        import numpy as np
+        import jax.numpy as jnp
+        rng = np.random.RandomState(seed)
+        p = h * w
+        x = jnp.asarray(rng.randn(n, p, cg).astype(np.float32))
+        base = np.tile(np.arange(p), (n, k, 1)).astype(np.float32)
+        py = base // w + rng.randn(n, k, p) * off_scale
+        px = base % w + rng.randn(n, k, p) * off_scale
+        pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
+        return x, pyx
+
+    def test_interpret_matches_reference(self):
+        """Separable row-window kernel (interpret) == XLA reference,
+        odd width (row padding path) included."""
+        import numpy as np
+        from sipmask_tpu.ops.pallas import deform_gather as dg
+        for (h, w) in [(40, 36), (30, 29)]:
+            x, pyx = self._mk(5, 2, 4, h, w, 8, 1.5)
+            got = dg._sample_pallas_sep(x, pyx, h, w, interpret=True)
+            want = dg.sample_ref(x, pyx, h, w)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_interpret_residual_rows_exercised(self):
+        """Offsets far beyond ROW_MARGIN force the per-tap residual loop;
+        the result stays exact vs the reference."""
+        import numpy as np
+        from sipmask_tpu.ops.pallas import deform_gather as dg
+        h, w = 48, 24
+        x, pyx = self._mk(6, 1, 3, h, w, 8, 0.5)
+        # shift one tap's rows by +20 (beyond any static window margin)
+        pyx = pyx.at[:, 1, :, 0].add(20.0)
+        got = dg._sample_pallas_sep(x, pyx, h, w, interpret=True)
+        want = dg.sample_ref(x, pyx, h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
