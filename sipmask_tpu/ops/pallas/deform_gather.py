@@ -188,22 +188,17 @@ def _prep(x_rows, pyx, g=None):
 
 # --------------------------------------- forward (separable row-window)
 
-# Static row-window height margin beyond the block's own row span: ws (the
-# window start) already absorbs downward offsets, so the margin must cover
-# block rows + 1 (corner) + the offset spread. Rows beyond the window are
-# handled EXACTLY by the per-tap residual loop (0 trips for typical
-# offsets; FeatureAlign offsets at trained convergence are a few pixels).
-ROW_MARGIN = 6
 # Use the separable kernel only while the whole (row-padded) level fits
 # VMEM comfortably; bigger levels take the banded kernel.
 XWIN_MAX_BYTES = 8 * 1024 * 1024
 
 
 def _row_ranges(pyxp, h, n, k, pb):
-    """Scalar-prefetch array for the separable kernel: first n*pb entries
-    are ws (per-block clamped window start row), then n*pb*k entries are
-    rowhi (per-block-per-tap max corner row). Padded positions (-2) are
-    excluded the same way as _tile_ranges."""
+    """Scalar-prefetch arrays for the separable kernel: per (n, p-block)
+    the min corner row (ws) and max corner row (rhi) over ALL taps and
+    positions. Padded positions (-2) are excluded the same way as
+    _tile_ranges; a fully-padded block gets ws > rhi and the row loop
+    never fires."""
     py = pyxp[..., 0]
     real = py > -1.5
     r_lo = jnp.clip(jnp.floor(py), 0, h - 1).astype(jnp.int32)
@@ -212,30 +207,30 @@ def _row_ranges(pyxp, h, n, k, pb):
     lo_bt = jnp.where(real, r_lo, big).reshape(n, k, pb, -1).min(-1)
     hi_bt = jnp.where(real, r_hi, -1).reshape(n, k, pb, -1).max(-1)
     ws = lo_bt.min(1)                                     # (N, PB)
-    rowhi = hi_bt.transpose(0, 2, 1)                      # (N, PB, K)
-    return ws.reshape(-1), rowhi.reshape(-1)
+    rhi = hi_bt.max(1)                                    # (N, PB)
+    return ws.reshape(-1), rhi.reshape(-1)
 
 
-def _fwd_sep_kernel(scal_ref, pyx_ref, x_ref, out_ref, sx_ref, ty_ref,
-                    acc_ref, *, k_n, pb_n, wpad, r_n):
-    """Separable forward: one pixel-block per grid step.
+def _fwd_sep_kernel(scal_ref, pyx_ref, x_ref, out_ref, sx_ref, pys_ref,
+                    acc_ref, *, k_n, pb_n, wpad):
+    """Separable forward: one pixel-block per grid step, one dynamic
+    fori_loop over the block's ACTUAL corner-row span [ws, rhi].
 
-    The bilinear tent factorizes as tent_y * tent_x, so the block's work
-    becomes: build the per-tap column-tent matrix Sx (k*P_BLK, wpad) ONCE,
-    then for each of the R window rows one MXU dot (k*P_BLK, wpad) @
-    (wpad, cg) combined with the scalar row-tent — instead of per-tap
-    banded tile matmuls whose tent matrices span every column of ~R rows.
-    Same flops, much less VPU tent work; measured faster than the banded
-    kernel only for wide levels (K = wpad feeds the MXU poorly when w is
-    small — see _sep_eligible). A one-big-dot variant (K = R*wpad via an
-    S_big scratch) measured SLOWER (21.5 vs 16.0ms at 800x1344 P3): the
-    S_big build is VPU/scratch-write-bound. Rows beyond the static window
-    are added exactly by a per-tap fori_loop residual (0 trips for
-    typical offsets)."""
+    The bilinear tent factorizes as tent_y * tent_x. The column tents
+    depend only on px and the (identical for every row) column iota, so
+    Sx (k*P_BLK, wpad) is built ONCE per block; per row the work is one
+    MXU dot (k*P_BLK, wpad) @ (wpad, cg), one vectorized row-tent over the
+    pre-stacked py, and one FMA. That cuts the per-MAC VPU tent cost ~4x
+    vs the banded kernel (whose tent matrices recompute qy/qx per tile
+    element), and the dynamic row range processes no wasted rows — the
+    earlier static-window + residual variant paid for margin rows at
+    every block. Exact for arbitrary offsets; no residual pass needed."""
     import jax.experimental.pallas as pl
 
     bn, bp = pl.program_id(0), pl.program_id(1)
+    npb = pl.num_programs(0) * pb_n
     ws = scal_ref[bn * pb_n + bp]
+    rhi = scal_ref[npb + bn * pb_n + bp]
     qx = jax.lax.broadcasted_iota(jnp.int32, (1, wpad), 1
                                   ).astype(jnp.float32)
     p_blk = pyx_ref.shape[1]
@@ -245,32 +240,18 @@ def _fwd_sep_kernel(scal_ref, pyx_ref, x_ref, out_ref, sx_ref, ty_ref,
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
         sx_ref[t * p_blk:(t + 1) * p_blk, :] = _tent(qx - px).astype(
             sx_ref.dtype)
-        rr = (jax.lax.broadcasted_iota(jnp.int32, (1, r_n), 1
-                                       ).astype(jnp.float32) +
-              ws.astype(jnp.float32))
-        ty_ref[t * p_blk:(t + 1) * p_blk, :] = _tent(rr - py)
+        pys_ref[t * p_blk:(t + 1) * p_blk, :] = py
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for r in range(r_n):
-        row = x_ref[0, pl.ds((ws + r) * wpad, wpad), :]   # (wpad, cg)
+
+    def body(r, carry):
+        row = x_ref[0, pl.ds(r * wpad, wpad), :]          # (wpad, cg)
         m = jnp.dot(sx_ref[...], row, preferred_element_type=jnp.float32)
-        acc_ref[...] += ty_ref[:, r:r + 1] * m
+        ty = _tent(r.astype(jnp.float32) - pys_ref[...])  # (k*P_BLK, 1)
+        acc_ref[...] += ty * m
+        return carry
 
-    # exact residual: rows past the window (per tap)
-    for t in range(k_n):
-        rowhi = scal_ref[pb_n * pl.num_programs(0) +
-                         ((bn * pb_n + bp) * k_n + t)]
-        py = pyx_ref[0, :, 2 * t:2 * t + 1]
-
-        def body(r, carry, py=py, t=t):
-            row = x_ref[0, pl.ds(r * wpad, wpad), :]
-            m = jnp.dot(sx_ref[t * p_blk:(t + 1) * p_blk, :], row,
-                        preferred_element_type=jnp.float32)
-            acc_ref[t * p_blk:(t + 1) * p_blk, :] += _tent(
-                r.astype(jnp.float32) - py) * m
-            return carry
-
-        jax.lax.fori_loop(ws + r_n, rowhi + 1, body, 0)
+    jax.lax.fori_loop(ws, rhi + 1, body, 0)
 
     for t in range(k_n):
         out_ref[0, t] = acc_ref[t * p_blk:(t + 1) * p_blk, :].astype(
@@ -287,11 +268,10 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
     # 16-row-multiple padding: bf16 VMEM tiles pack 2 sublanes, so dynamic
     # sublane slice starts must be multiples of 16 to stay aligned.
     wpad = -(-w // 16) * 16
-    r_n = -(-P_BLK // w) + ROW_MARGIN
     ppad = -(-p // P_BLK) * P_BLK
     pb = ppad // P_BLK
 
-    # row-pad x so every row slice starts 8-sublane-aligned for any w;
+    # row-pad x so every row slice starts 16-sublane-aligned for any w;
     # padded columns are zero so any tent weight they carry contributes 0
     # (same rule as out-of-bounds corners).
     xw = x_rows.reshape(n, h, w, cg)
@@ -303,9 +283,8 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
     if ppad != p:
         mask = (jnp.arange(ppad) < p)[None, None, :, None]
         pyxp = jnp.where(mask, pyxp, -2.0)
-    ws, rowhi = _row_ranges(pyxp.astype(jnp.float32), h, n, k, pb)
-    ws = jnp.clip(ws, 0, h - r_n)
-    scal = jnp.concatenate([ws, rowhi]).astype(jnp.int32)
+    ws, rhi = _row_ranges(pyxp.astype(jnp.float32), h, n, k, pb)
+    scal = jnp.concatenate([ws, rhi]).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -318,13 +297,12 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
                                lambda bn, bp, *_: (bn, 0, bp, 0)),
         scratch_shapes=[
             pltpu.VMEM((k * P_BLK, wpad), x_rows.dtype),
-            pltpu.VMEM((k * P_BLK, r_n), jnp.float32),
+            pltpu.VMEM((k * P_BLK, 1), jnp.float32),
             pltpu.VMEM((k * P_BLK, cg), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_sep_kernel, k_n=k, pb_n=pb, wpad=wpad,
-                          r_n=r_n),
+        functools.partial(_fwd_sep_kernel, k_n=k, pb_n=pb, wpad=wpad),
         out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
         grid_spec=grid_spec,
         compiler_params=None if interpret else _compiler_params(),
@@ -335,15 +313,7 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
 
 def _sep_eligible(h, w, cg, xbytes, k):
     wpad = -(-w // 16) * 16
-    r_n = -(-P_BLK // w) + ROW_MARGIN
-    # measured crossover on v5e with trained-scale offsets (sigma~1px): the
-    # separable kernel wins only when the row width feeds the MXU
-    # contraction decently (800x1344 P3 w=168: 16.3 vs 18.6ms banded;
-    # 544^2 P3 w=68: 10.1 vs 8.6 -> banded keeps it). At zero offsets
-    # (random init) banded's data-dependent tile skip makes the two equal
-    # end-to-end; the gate is set for the trained-offset regime.
-    return (w >= 128 and h >= r_n and
-            h * wpad * cg * xbytes <= XWIN_MAX_BYTES and
+    return (h * wpad * cg * xbytes <= XWIN_MAX_BYTES and
             k * P_BLK * wpad * xbytes <= XWIN_MAX_BYTES)
 
 
