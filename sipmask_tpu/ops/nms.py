@@ -40,13 +40,17 @@ def hard_nms(boxes, scores, iou_thr: float, max_out: int, class_ids=None,
       valid: (max_out,) bool.
     """
     n = boxes.shape[0]
-    if plus1:
-        ious = bbox_overlaps(boxes, boxes)  # (N, N), +1 convention
-    else:
-        ious = jaccard_nop1(boxes, boxes)
-    if class_ids is not None:
-        same = class_ids[:, None] == class_ids[None, :]
-        ious = jnp.where(same, ious, 0.0)
+
+    def iou_row(j):
+        # the pick's IoU row, computed lazily: the greedy loop only ever
+        # reads max_out of the N rows, so the (N, N) matrix (100MB at the
+        # high-accuracy path's 5000-pair candidate set) is never built
+        bj = jax.lax.dynamic_slice(boxes, (j, 0), (1, 4))
+        row = (bbox_overlaps(bj, boxes) if plus1
+               else jaccard_nop1(bj, boxes))[0]
+        if class_ids is not None:
+            row = jnp.where(class_ids[j] == class_ids, row, 0.0)
+        return row
 
     def body(i, state):
         live_scores, keep_idx, keep_scores = state
@@ -56,7 +60,7 @@ def hard_nms(boxes, scores, iou_thr: float, max_out: int, class_ids=None,
         keep_idx = keep_idx.at[i].set(jnp.where(picked, j, -1))
         keep_scores = keep_scores.at[i].set(jnp.where(picked, s, NEG))
         # suppress overlaps with the pick (including the pick itself)
-        sup = (ious[j] > iou_thr) | (jnp.arange(n) == j)
+        sup = (iou_row(j) > iou_thr) | (jnp.arange(n) == j)
         live_scores = jnp.where(picked & sup, NEG, live_scores)
         return live_scores, keep_idx, keep_scores
 
@@ -79,10 +83,14 @@ def soft_nms(boxes, scores, iou_thr: float = 0.3, max_out: int = 100,
     dropped. Same return contract as :func:`hard_nms`.
     """
     n = boxes.shape[0]
-    ious = bbox_overlaps(boxes, boxes)
-    if class_ids is not None:
-        same = class_ids[:, None] == class_ids[None, :]
-        ious = jnp.where(same, ious, 0.0)
+
+    def iou_row(j):
+        # lazy per-pick IoU row (see hard_nms)
+        bj = jax.lax.dynamic_slice(boxes, (j, 0), (1, 4))
+        row = bbox_overlaps(bj, boxes)[0]
+        if class_ids is not None:
+            row = jnp.where(class_ids[j] == class_ids, row, 0.0)
+        return row
 
     def body(i, state):
         live, keep_idx, keep_scores = state
@@ -91,7 +99,7 @@ def soft_nms(boxes, scores, iou_thr: float = 0.3, max_out: int = 100,
         picked = s > min_score
         keep_idx = keep_idx.at[i].set(jnp.where(picked, j, -1))
         keep_scores = keep_scores.at[i].set(jnp.where(picked, s, NEG))
-        ov = ious[j]
+        ov = iou_row(j)
         if method == "gaussian":
             decay = jnp.exp(-(ov * ov) / sigma)
         else:  # linear
