@@ -129,9 +129,10 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
       scores: (N, C) per-foreground-class sigmoid scores.
       score_factors: (N,) multiplied into scores *after* thresholding on the
         raw score (bbox_nms.py:111,121-122).
-      pre_nms_top_n: static cap on (box, class) candidate pairs entering NMS.
-        The reference NMSes every pair above score_thr; tests measure zero
-        keep-set divergence at 5000 on realistic crowded score distributions.
+      pre_nms_top_n: static cap on (box, class) candidate pairs entering
+        the SOFT-NMS path only. The hard path (reference default) runs the
+        greedy loop over the full (N, C) matrix — every pair above
+        score_thr participates, exactly like the reference.
       nms_type: 'nms' (hard, reference default) or 'soft_nms' (the config
         ``nms=dict(type='soft_nms')`` option).
     Returns dict with (all length max_per_img):
@@ -142,27 +143,65 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
     valid = scores > score_thr  # raw-score threshold, as in the reference
     eff = jnp.where(valid, eff, NEG)
 
-    flat = eff.reshape(-1)  # (N*C,) candidate (row, class) pairs
-    k = min(pre_nms_top_n, flat.shape[0])
-    top_scores, top_flat_idx = jax.lax.top_k(flat, k)
-    rows = top_flat_idx // c
-    cls = (top_flat_idx % c).astype(jnp.int32)
-    cand_boxes = boxes[rows]
-
     if nms_type == "soft_nms":
+        flat = eff.reshape(-1)  # (N*C,) candidate (row, class) pairs
+        k = min(pre_nms_top_n, flat.shape[0])
+        top_scores, top_flat_idx = jax.lax.top_k(flat, k)
+        rows = top_flat_idx // c
+        cls = (top_flat_idx % c).astype(jnp.int32)
+        cand_boxes = boxes[rows]
         keep, keep_scores, keep_valid = soft_nms(
             cand_boxes, top_scores, iou_thr=iou_thr, max_out=max_per_img,
             method=soft_method, sigma=soft_sigma, min_score=soft_min_score,
             class_ids=cls)
-    else:
-        keep, keep_scores, keep_valid = hard_nms(
-            cand_boxes, top_scores, iou_thr, max_per_img, class_ids=cls)
-    safe = jnp.clip(keep, 0)
+        safe = jnp.clip(keep, 0)
+        return dict(
+            boxes=cand_boxes[safe] * keep_valid[:, None],
+            scores=jnp.where(keep_valid, keep_scores, 0.0),
+            labels=jnp.where(keep_valid, cls[safe], -1),
+            idxs=jnp.where(keep_valid, rows[safe], 0).astype(jnp.int32),
+            valid=keep_valid,
+        )
+
+    # Hard NMS: greedy global argmax directly over the FULL (N, C) score
+    # matrix — no candidate-pair cap at all. This is exactly the
+    # reference's per-class-NMS-then-global-top-max_num: a pair is
+    # suppressed iff a higher-scored same-class pair overlapping > iou_thr
+    # survives, and the greedy order visits pairs in descending score, so
+    # the first max_per_img picks ARE the reference's sorted output. The
+    # pick's IoU row is computed lazily against the shared class-agnostic
+    # boxes (self-IoU is 1 under the +1 convention, so the pick suppresses
+    # itself). Replaces top_k over N*C pairs (~4ms at 5000x80 per image)
+    # plus a capped hard_nms — faster AND drops the cap approximation.
+    cls_iota = jnp.arange(c, dtype=jnp.int32)[None, :]
+
+    def body(i, state):
+        live, kr, kc, ks = state
+        jf = jnp.argmax(live.reshape(-1))
+        row = (jf // c).astype(jnp.int32)
+        ccls = (jf % c).astype(jnp.int32)
+        s = live.reshape(-1)[jf]
+        picked = s > NEG / 2
+        bj = jax.lax.dynamic_slice(boxes, (row, 0), (1, 4))
+        iou = bbox_overlaps(bj, boxes)[0]                 # (N,)
+        sup = (iou > iou_thr)[:, None] & (cls_iota == ccls)
+        live = jnp.where(picked & sup, NEG, live)
+        kr = kr.at[i].set(jnp.where(picked, row, 0))
+        kc = kc.at[i].set(jnp.where(picked, ccls, -1))
+        ks = ks.at[i].set(jnp.where(picked, s, NEG))
+        return live, kr, kc, ks
+
+    kr0 = jnp.zeros((max_per_img,), jnp.int32)
+    kc0 = jnp.full((max_per_img,), -1, jnp.int32)
+    ks0 = jnp.full((max_per_img,), NEG, eff.dtype)
+    _, kr, kc, ks = jax.lax.fori_loop(0, max_per_img, body,
+                                      (eff, kr0, kc0, ks0))
+    keep_valid = ks > NEG / 2
     return dict(
-        boxes=cand_boxes[safe] * keep_valid[:, None],
-        scores=jnp.where(keep_valid, keep_scores, 0.0),
-        labels=jnp.where(keep_valid, cls[safe], -1),
-        idxs=jnp.where(keep_valid, rows[safe], 0).astype(jnp.int32),
+        boxes=boxes[kr] * keep_valid[:, None],
+        scores=jnp.where(keep_valid, ks, 0.0),
+        labels=kc,
+        idxs=kr,
         valid=keep_valid,
     )
 

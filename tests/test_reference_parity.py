@@ -395,8 +395,9 @@ class TestMulticlassNmsIdxParity:
         np.testing.assert_allclose(gs, ws, rtol=1e-6)
 
     def test_keep_set_matches_dense_scores(self):
-        """Crowded case: thousands of (box,class) pairs above score_thr —
-        quantifies the static pre-NMS cap divergence (VERDICT item 4)."""
+        """Crowded case: thousands of (box,class) pairs above score_thr
+        (historically the static pre-NMS cap risk, VERDICT round-1 item 4;
+        the hard path is now uncapped and exact)."""
         got, want, _ = self._run(seed=32, n=1000, c=8,
                                  pre_nms_top_n=8000)
         assert got == want
@@ -405,10 +406,10 @@ class TestMulticlassNmsIdxParity:
     def test_keep_set_matches_crowded_duplicates_default_cap(self, seed):
         """Trained-detector-like crowded scene: 120 objects x 25 duplicate
         boxes each, scores high on 1-2 classes per object, 80 classes.
-        Zero keep-set divergence at the default pre_nms_pairs=5000 cap
-        (measured bound for the static-shape tradeoff; adversarial
-        'high-on-all-80-classes duplicates' inputs can still diverge — see
-        PARITY.md)."""
+        The hard path now runs the greedy loop over the FULL pair matrix
+        (no cap), so the keep set matches the reference exactly on any
+        input; this fixture documents the historical worst case for the
+        old pre_nms_pairs truncation."""
         from sipmask_tpu.config import TestConfig
         from sipmask_tpu.ops.nms import multiclass_nms_idx
         rng = np.random.RandomState(seed)
