@@ -30,7 +30,7 @@ from ..core import losses as L
 from ..core.boxes import bbox_overlaps, distance2bbox, center_size
 from ..core.points import all_points
 from ..core.targets import fcos_targets, centerness_target
-from ..ops.crop_split import mask_bce_loss, assemble_masks
+from ..ops.crop_split import mask_bce_loss_indexed, assemble_masks
 
 
 def flatten_outputs(outputs):
@@ -174,10 +174,11 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
             final_valid = sel_valid
         n_final = jnp.maximum(final_valid.sum().astype(jnp.float32), 1.0)
 
-        gt_m = jnp.take(gt_masks_i, gtidx_sel, axis=0)        # (K, Hm, Wm)
-        gt_m = jnp.moveaxis(gt_m, 0, -1).astype(jnp.float32)  # (Hm, Wm, K)
-
-        pre = mask_bce_loss(basis_i, cof_sel, box_sel, gt_m)  # (K,)
+        # gt gather folded into the BCE's linear term: K positives index
+        # only G distinct masks, so the (Hm, Wm, K) gathered gt tensor is
+        # never materialized (mask_bce_loss_indexed)
+        pre = mask_bce_loss_indexed(basis_i, cof_sel, box_sel,
+                                    gt_masks_i, gtidx_sel)    # (K,)
         csz = center_size(box_sel)
         bw = jnp.where(final_valid, csz[:, 2], 1.0)
         bh = jnp.where(final_valid, csz[:, 3], 1.0)

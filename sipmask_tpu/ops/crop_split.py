@@ -154,3 +154,32 @@ def mask_bce_loss(basis, cofs, boxes, gt_masks):
     bce = (jnp.clip(sel, 0) - sel * gt_masks +
            jnp.log1p(jnp.exp(-jnp.abs(sel))))
     return (bce * in_box.astype(bce.dtype)).sum((0, 1))
+
+
+def mask_bce_loss_indexed(basis, cofs, boxes, gt_masks_g, gt_idx):
+    """:func:`mask_bce_loss` with the gt gather folded into a matmul.
+
+    The K selected positives index only G << K distinct gt masks, so
+    materializing the gathered (h, w, K) gt tensor (75MB/image at 544^2
+    K=256, plus its transpose) wastes HBM. BCE splits into a gt-independent
+    elementwise part and the linear term ``-sum_p sel*gt``; with gt in
+    {0,1} the latter is an (h*w) contraction against the G distinct masks —
+    one MXU einsum — followed by a (K, G) diagonal pick.
+
+    Args:
+      basis: (h, w, nb); cofs: (K, 4*nb); boxes: (K, 4) mask coords;
+      gt_masks_g: (G, h, w) binary {0,1} distinct gt masks;
+      gt_idx: (K,) int32 index of each detection's gt in gt_masks_g.
+    Returns:
+      pixel-summed BCE per detection: (K,) — same values as mask_bce_loss
+      up to matmul summation order.
+    """
+    sel, in_box = _colmix_logits(basis, cofs, boxes)
+    inb = in_box.astype(sel.dtype)
+    pos = ((jnp.clip(sel, 0) + jnp.log1p(jnp.exp(-jnp.abs(sel)))) * inb
+           ).sum((0, 1))                                       # (K,)
+    t = jnp.einsum("hwk,ghw->kg", sel * inb,
+                   gt_masks_g.astype(sel.dtype),
+                   preferred_element_type=jnp.float32)          # (K, G)
+    gt_term = jnp.take_along_axis(t, gt_idx[:, None], axis=1).squeeze(1)
+    return pos - gt_term

@@ -565,3 +565,36 @@ class TestPallasSepDeformGather:
         want = dg.sample_ref(x, pyx, h, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestMaskBceIndexed:
+    def test_matches_dense_gather_form(self):
+        """mask_bce_loss_indexed == mask_bce_loss on the gathered gt tensor
+        (same math, gt gather folded into one matmul)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.crop_split import (mask_bce_loss,
+                                                mask_bce_loss_indexed)
+        rng = np.random.RandomState(9)
+        h, w, nb, k, g = 24, 20, 8, 6, 3
+        basis = jnp.asarray(rng.randn(h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(k, 4 * nb).astype(np.float32))
+        bx = (rng.rand(k, 4) * np.array([w, h, w, h])).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate(
+            [np.minimum(bx[:, :2], bx[:, 2:]),
+             np.maximum(bx[:, :2], bx[:, 2:])], -1))
+        gt_g = jnp.asarray((rng.rand(g, h, w) > 0.5).astype(np.float32))
+        gt_idx = jnp.asarray(rng.randint(0, g, size=(k,)).astype(np.int32))
+        gt_dense = jnp.moveaxis(jnp.take(gt_g, gt_idx, axis=0), 0, -1)
+        want = mask_bce_loss(basis, cofs, boxes, gt_dense)
+        got = mask_bce_loss_indexed(basis, cofs, boxes, gt_g, gt_idx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # gradients agree too (training path)
+        gw = jax.grad(lambda c: mask_bce_loss(basis, c, boxes,
+                                              gt_dense).sum())(cofs)
+        gg = jax.grad(lambda c: mask_bce_loss_indexed(
+            basis, c, boxes, gt_g, gt_idx).sum())(cofs)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-4, atol=1e-5)
