@@ -178,8 +178,12 @@ def mask_bce_loss_indexed(basis, cofs, boxes, gt_masks_g, gt_idx):
     inb = in_box.astype(sel.dtype)
     pos = ((jnp.clip(sel, 0) + jnp.log1p(jnp.exp(-jnp.abs(sel)))) * inb
            ).sum((0, 1))                                       # (K,)
+    # HIGHEST precision: this einsum directly replaces an exact f32
+    # elementwise sum; default TPU matmul precision would add bf16 drift
+    # to the BCE linear term that the CPU parity tests cannot see
     t = jnp.einsum("hwk,ghw->kg", sel * inb,
                    gt_masks_g.astype(sel.dtype),
-                   preferred_element_type=jnp.float32)          # (K, G)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)         # (K, G)
     gt_term = jnp.take_along_axis(t, gt_idx[:, None], axis=1).squeeze(1)
     return pos - gt_term

@@ -184,7 +184,12 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
         picked = s > NEG / 2
         bj = jax.lax.dynamic_slice(boxes, (row, 0), (1, 4))
         iou = bbox_overlaps(bj, boxes)[0]                 # (N,)
-        sup = (iou > iou_thr)[:, None] & (cls_iota == ccls)
+        # suppress same-class overlaps PLUS the picked pair itself: a
+        # degenerate box (x2 < x1 - 1 after decode, possible early in
+        # training since fcos_reg output is unbounded) has zero self-IoU
+        # under the +1 convention and would otherwise be re-picked forever
+        self_pair = jnp.arange(n, dtype=jnp.int32)[:, None] == row
+        sup = ((iou > iou_thr)[:, None] | self_pair) & (cls_iota == ccls)
         live = jnp.where(picked & sup, NEG, live)
         kr = kr.at[i].set(jnp.where(picked, row, 0))
         kc = kc.at[i].set(jnp.where(picked, ccls, -1))

@@ -198,17 +198,23 @@ def deform_roi_pool(feats, rois, trans, out_size: int, spatial_scale: float,
         num_classes = trans.shape[1] // 2
     ch_each = d // num_classes
 
-    # roi box: rounded coords, half-pixel shift (kernel :84-87)
-    start_w = jnp.round(rois[:, 1]) * spatial_scale - 0.5
-    start_h = jnp.round(rois[:, 2]) * spatial_scale - 0.5
-    end_w = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
-    end_h = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
+    # roi box: rounded coords, half-pixel shift (kernel :84-87). C round()
+    # is half-away-from-zero, not jnp.round's half-to-even: floor(x + 0.5)
+    # matches it for the non-negative roi coords used here.
+    def _c_round(x):
+        return jnp.floor(x + 0.5)
+    start_w = _c_round(rois[:, 1]) * spatial_scale - 0.5
+    start_h = _c_round(rois[:, 2]) * spatial_scale - 0.5
+    end_w = (_c_round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    end_h = (_c_round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
     roi_w = jnp.maximum(end_w - start_w, 0.1)
     roi_h = jnp.maximum(end_h - start_h, 0.1)
 
     ph = jnp.arange(p)
-    part_h = jnp.floor(ph.astype(feats.dtype) / p * part_size).astype(jnp.int32)
-    gh = jnp.clip(jnp.floor(ph.astype(feats.dtype) * g / p), 0, g - 1).astype(jnp.int32)
+    # index arithmetic in f32 regardless of feats.dtype: a bf16 floor of
+    # ph/p*part_size can land one part/PS-group index off the CUDA kernel
+    part_h = jnp.floor(ph.astype(jnp.float32) / p * part_size).astype(jnp.int32)
+    gh = jnp.clip(jnp.floor(ph.astype(jnp.float32) * g / p), 0, g - 1).astype(jnp.int32)
     cls_id = jnp.arange(d) // ch_each                       # (D,)
     # position-sensitive source channel (kernel :131); the output is square
     # (deform_pool.py:28 asserts out_h == out_w) so gw(pw) == gh evaluated

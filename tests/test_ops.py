@@ -157,6 +157,20 @@ class TestNMS:
                                   np.asarray(out["labels"])[v])))
         assert kept == {(0, 0), (2, 0), (3, 1)}
 
+    def test_multiclass_nms_degenerate_box_not_repicked(self):
+        # a degenerate box (x2 < x1 - 1) has zero self-IoU under the +1
+        # convention; without the explicit self-pair suppression the hard
+        # path re-picks it every iteration and drowns out real detections
+        boxes = jnp.array([[50.0, 50.0, 40.0, 40.0],   # degenerate, top score
+                           [0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
+        scores = jnp.array([[0.95], [0.9], [0.8]], jnp.float32)
+        out = multiclass_nms_idx(boxes, scores, 0.05, 0.5, 5)
+        v = np.asarray(out["valid"])
+        idxs = np.asarray(out["idxs"])[v]
+        assert v.sum() == 3                      # each pair picked once
+        assert list(idxs) == [0, 1, 2]           # descending score order
+        assert len(set(idxs)) == 3               # no duplicates
+
     def test_multiclass_nms_score_factor_ordering(self):
         boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
         scores = jnp.array([[0.9], [0.8]], jnp.float32)

@@ -134,10 +134,11 @@ class TestDeformRoIPool:
         out = np.zeros((R, D, P, P), np.float32)
         for n in range(R):
             b = int(rois[n, 0])
-            sw = round(float(rois[n, 1])) * scale - 0.5
-            sh = round(float(rois[n, 2])) * scale - 0.5
-            ew = (round(float(rois[n, 3])) + 1.0) * scale - 0.5
-            eh = (round(float(rois[n, 4])) + 1.0) * scale - 0.5
+            # C round() = half-away-from-zero, NOT python round (half-to-even)
+            sw = np.floor(float(rois[n, 1]) + 0.5) * scale - 0.5
+            sh = np.floor(float(rois[n, 2]) + 0.5) * scale - 0.5
+            ew = (np.floor(float(rois[n, 3]) + 0.5) + 1.0) * scale - 0.5
+            eh = (np.floor(float(rois[n, 4]) + 0.5) + 1.0) * scale - 0.5
             rw, rh = max(ew - sw, 0.1), max(eh - sh, 0.1)
             bw, bh = rw / P, rh / P
             subw, subh = bw / S, bh / S
@@ -185,8 +186,10 @@ class TestDeformRoIPool:
         feats = rng.randn(2, 12, 14, C).astype(np.float32)
         rois = np.array([[0, 2.0, 2.0, 20.0, 16.0],
                          [1, -4.0, 1.0, 30.0, 30.0],   # extends past image
-                         [0, 6.3, 7.8, 9.2, 11.9]], np.float32)
-        trans = (rng.randn(3, 2, P, P) * 2).astype(np.float32)  # 1 class
+                         [0, 6.3, 7.8, 9.2, 11.9],
+                         [0, 2.5, 3.5, 18.5, 15.5]],   # exact .5: C round up
+                        np.float32)
+        trans = (rng.randn(4, 2, P, P) * 2).astype(np.float32)  # 1 class
         got = np.asarray(deform_roi_pool(
             jnp.asarray(feats), jnp.asarray(rois), jnp.asarray(trans),
             P, scale, D, False, group_size=G, sample_per_part=S,
