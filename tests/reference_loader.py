@@ -78,16 +78,34 @@ def _make_torch_stubs():
         if hasattr(module, "bias") and module.bias is not None:
             nn.init.constant_(module.bias, 0)
 
+    def kaiming_uniform_init(module, **kw):
+        nn.init.kaiming_uniform_(module.weight)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
+    def xavier_uniform_init(module, distribution="normal", **kw):
+        if distribution == "uniform":
+            nn.init.xavier_uniform_(module.weight)
+        else:
+            nn.init.xavier_normal_(module.weight)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, 0)
+
     mmcv = _stub_module("mmcv", is_pkg=True)
     _stub_module("mmcv.cnn", normal_init=normal_init,
                  constant_init=constant_init, kaiming_init=kaiming_init,
-                 xavier_init=xavier_init)
+                 xavier_init=xavier_uniform_init)
     mmcv.cnn = sys.modules["mmcv.cnn"]
+    _stub_module("mmcv.runner",
+                 load_checkpoint=lambda *a, **k: None)
+    mmcv.runner = sys.modules["mmcv.runner"]
 
-    # --- pycocotools.mask (only reached in get_bboxes RLE loop; unused here)
+    # --- pycocotools.mask: captures the raw binary mask so full-model
+    # parity tests can compare the reference's final pasted masks
     pyco = _stub_module("pycocotools", is_pkg=True)
     _stub_module("pycocotools.mask",
-                 encode=lambda a: [{"counts": b"", "size": list(a.shape[:2])}])
+                 encode=lambda a: [{"counts": b"", "size": list(a.shape[:2]),
+                                    "arr": np.asarray(a[..., 0]).copy()}])
     pyco.mask = sys.modules["pycocotools.mask"]
 
 
@@ -122,54 +140,100 @@ def _pure_torch_nms(dets, iou_thr, device_id=None):
     return dets[keep], keep
 
 
+def _torch_deform_conv2d(x, offset, weight, stride=1, padding=0, dilation=1,
+                         deformable_groups=1):
+    """Pure-torch transcription of the v1 deformable conv forward
+    (mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu: deformable_im2col then a
+    weight matmul). Offset layout per deformable group: [dy_k, dx_k]
+    interleaved over kernel positions; zero-padded bilinear sampling."""
+    import torch
+    b, c, h, w = x.shape
+    oc, _, kh, kw = weight.shape
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    dg = deformable_groups
+    cg = c // dg
+    off = offset.view(b, dg, kh * kw, 2, ho, wo)
+    base_y = (torch.arange(ho, dtype=x.dtype) * stride - padding).view(1, ho, 1)
+    base_x = (torch.arange(wo, dtype=x.dtype) * stride - padding).view(1, 1, wo)
+    cols = x.new_zeros(b, c, kh * kw, ho, wo)
+    for g in range(dg):
+        xg = x[:, g * cg:(g + 1) * cg].reshape(b, cg, h * w)
+        for kidx in range(kh * kw):
+            i, j = kidx // kw, kidx % kw
+            py = base_y + i * dilation + off[:, g, kidx, 0]
+            px = base_x + j * dilation + off[:, g, kidx, 1]
+            y0, x0 = torch.floor(py), torch.floor(px)
+            val = x.new_zeros(b, cg, ho, wo)
+            for dy in (0, 1):
+                wy = (py - y0) if dy else (1 - (py - y0))
+                yy = y0 + dy
+                for dx in (0, 1):
+                    wx = (px - x0) if dx else (1 - (px - x0))
+                    xx = x0 + dx
+                    valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+                    idx = (yy.clamp(0, h - 1) * w +
+                           xx.clamp(0, w - 1)).long().view(b, 1, -1)
+                    v = xg.gather(2, idx.expand(b, cg, -1)).view(b, cg, ho, wo)
+                    val = val + v * (wy * wx * valid.to(x.dtype)).unsqueeze(1)
+            cols[:, g * cg:(g + 1) * cg, kidx] = val
+    return torch.einsum("bckxy,ock->boxy", cols, weight.view(oc, c, kh * kw))
+
+
 def _make_mmdet_stubs():
     """Builds the fake mmdet package tree and loads the reference's own
-    pure-torch modules into it."""
+    pure-torch modules into it. ConvModule / Scale / build_conv_layer /
+    build_norm_layer are the reference's REAL sources (ops/conv_module.py,
+    scale.py, conv.py, norm.py, activation.py, conv_ws.py); only the
+    compiled CUDA extensions are transcriptions."""
+    import math
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
 
     mmdet = _stub_module("mmdet", is_pkg=True)
 
-    # ---- mmdet.ops: stubs for compiled extensions + tiny plumbing modules
-    class Scale(nn.Module):
-        def __init__(self, scale=1.0):
-            super().__init__()
-            self.scale = nn.Parameter(torch.tensor(scale, dtype=torch.float))
-
-        def forward(self, x):
-            return x * self.scale
-
-    class ConvModule(nn.Module):
-        """Plumbing stub (conv [+GN] +ReLU) — the real one adds cfg wiring."""
-
-        def __init__(self, in_ch, out_ch, k, stride=1, padding=0,
-                     conv_cfg=None, norm_cfg=None, bias="auto", **kw):
-            super().__init__()
-            if bias == "auto":
-                bias = norm_cfg is None
-            self.conv = nn.Conv2d(in_ch, out_ch, k, stride=stride,
-                                  padding=padding, bias=bool(bias))
-            self.norm = (nn.GroupNorm(norm_cfg.get("num_groups", 32), out_ch)
-                         if norm_cfg else None)
-
-        def forward(self, x):
-            x = self.conv(x)
-            if self.norm is not None:
-                x = self.norm(x)
-            return F.relu(x)
-
     class DeformConv(nn.Module):
-        """Construction-only stub: loss/target paths never call forward."""
+        """mmdet/ops/dcn DeformConv with the CUDA forward transcribed to
+        pure torch (_torch_deform_conv2d); same init (reset_parameters
+        stdv = 1/sqrt(fan_in))."""
 
-        def __init__(self, in_ch, out_ch, k=3, padding=1, deformable_groups=1,
-                     **kw):
+        def __init__(self, in_channels, out_channels, kernel_size=3,
+                     stride=1, padding=0, dilation=1, groups=1,
+                     deformable_groups=1, bias=False, **kw):
             super().__init__()
-            self.weight = nn.Parameter(torch.zeros(out_ch, in_ch, k, k))
+            assert groups == 1 and not bias
+            self.stride, self.padding, self.dilation = stride, padding, dilation
+            self.deformable_groups = deformable_groups
+            self.weight = nn.Parameter(torch.empty(
+                out_channels, in_channels, kernel_size, kernel_size))
+            n = in_channels * kernel_size * kernel_size
+            self.weight.data.uniform_(-1 / math.sqrt(n), 1 / math.sqrt(n))
             self.bias = None
 
-        def forward(self, x, offset):  # pragma: no cover
-            raise NotImplementedError("DeformConv stub has no forward")
+        def forward(self, x, offset):
+            return _torch_deform_conv2d(
+                x, offset, self.weight, self.stride, self.padding,
+                self.dilation, self.deformable_groups)
+
+    class DeformConvPack(DeformConv):
+        """DeformConvPack: offsets from an internal zero-init conv on the
+        input (mmdet/ops/dcn/deform_conv.py)."""
+
+        def __init__(self, *args, **kw):
+            super().__init__(*args, **kw)
+            k = self.weight.shape[2]
+            self.conv_offset = nn.Conv2d(
+                self.weight.shape[1], self.deformable_groups * 2 * k * k,
+                kernel_size=k, stride=self.stride, padding=self.padding,
+                bias=True)
+            self.conv_offset.weight.data.zero_()
+            self.conv_offset.bias.data.zero_()
+
+        def forward(self, x):
+            return _torch_deform_conv2d(
+                x, self.conv_offset(x), self.weight, self.stride,
+                self.padding, self.dilation, self.deformable_groups)
 
     class CropSplit(nn.Module):
         """Pure-torch transcription of crop_split_cuda_kernel.cu:18-57:
@@ -219,11 +283,27 @@ def _make_mmdet_stubs():
         return F.binary_cross_entropy_with_logits(
             pred, t, reduction="none") * fw
 
-    ops = _stub_module(
-        "mmdet.ops", is_pkg=True, Scale=Scale, ConvModule=ConvModule,
-        DeformConv=DeformConv, ModulatedDeformConv=DeformConv,
-        CropSplit=CropSplit, CropSplitGt=CropSplitGt,
-        sigmoid_focal_loss=sigmoid_focal_loss)
+    # real ops sources (relative imports resolve against these entries)
+    ops = _stub_module("mmdet.ops", is_pkg=True)
+    _load_file("mmdet.ops.activation", f"{REF_MMDET}/mmdet/ops/activation.py")
+    _load_file("mmdet.ops.conv_ws", f"{REF_MMDET}/mmdet/ops/conv_ws.py")
+    _stub_module("mmdet.ops.dcn", DeformConvPack=DeformConvPack,
+                 ModulatedDeformConvPack=DeformConvPack)
+    norm_mod = _load_file("mmdet.ops.norm", f"{REF_MMDET}/mmdet/ops/norm.py")
+    conv_mod = _load_file("mmdet.ops.conv", f"{REF_MMDET}/mmdet/ops/conv.py")
+    cm_mod = _load_file("mmdet.ops.conv_module",
+                        f"{REF_MMDET}/mmdet/ops/conv_module.py")
+    scale_mod = _load_file("mmdet.ops.scale", f"{REF_MMDET}/mmdet/ops/scale.py")
+    for k, v in dict(
+            Scale=scale_mod.Scale, ConvModule=cm_mod.ConvModule,
+            build_conv_layer=conv_mod.build_conv_layer,
+            build_norm_layer=norm_mod.build_norm_layer,
+            DeformConv=DeformConv, ModulatedDeformConv=DeformConv,
+            DeformConvPack=DeformConvPack,
+            ContextBlock=None, GeneralizedAttention=None,
+            CropSplit=CropSplit, CropSplitGt=CropSplitGt,
+            sigmoid_focal_loss=sigmoid_focal_loss).items():
+        setattr(ops, k, v)
     nms_wrapper = _stub_module("mmdet.ops.nms.nms_wrapper",
                                nms=_pure_torch_nms)
     _stub_module("mmdet.ops.nms", nms_wrapper=nms_wrapper,
@@ -251,7 +331,8 @@ def _make_mmdet_stubs():
         bbox_overlaps=geometry.bbox_overlaps,
         distance2bbox=transforms.distance2bbox,
         bbox2result=getattr(transforms, "bbox2result", None),
-        multi_apply=multi_apply, force_fp32=force_fp32)
+        multi_apply=multi_apply, force_fp32=force_fp32,
+        auto_fp16=force_fp32)
     mmdet.core = core
 
     # ---- mmdet.models: registry plumbing + the reference's loss modules
@@ -264,8 +345,13 @@ def _make_mmdet_stubs():
             return cls
 
     LOSSES, HEADS = _Registry(), _Registry()
+    BACKBONES, NECKS, DETECTORS = _Registry(), _Registry(), _Registry()
     models = _stub_module("mmdet.models", is_pkg=True)
-    _stub_module("mmdet.models.registry", LOSSES=LOSSES, HEADS=HEADS)
+    _stub_module("mmdet.models.registry", LOSSES=LOSSES, HEADS=HEADS,
+                 BACKBONES=BACKBONES, NECKS=NECKS, DETECTORS=DETECTORS)
+    _stub_module("mmdet.utils",
+                 get_root_logger=lambda *a, **k: __import__(
+                     "logging").getLogger("mmdet"))
 
     def bias_init_with_prob(prior_prob):
         return float(-np.log((1 - prior_prob) / prior_prob))
@@ -435,6 +521,44 @@ def load_reference_benchmark():
     _bench_cache.update(dict(loss_mod=loss_mod, FakeBoxList=FakeBoxList,
                              make_loss_evaluator=make_loss_evaluator))
     return _bench_cache
+
+
+def load_reference_detector():
+    """Load the reference's OWN backbone + neck sources so tests can run the
+    full model forward (mmdet/models/backbones/resnet.py:13-521,
+    necks/fpn.py:10-178) on CPU with real ConvModule/BN/GN semantics. Only
+    DeformConv is a pure-torch transcription (see _torch_deform_conv2d).
+
+    Returns dict with ResNet / FPN classes and ``make_r50_gn_detector()``
+    which builds (backbone, neck, head) exactly per
+    configs/sipmask/sipmask_r50_caffe_fpn_gn_1x.py.
+    """
+    if "ResNet" in _cache:
+        return _cache
+    load_reference()
+    resnet_mod = _load_file("mmdet.models.backbones.resnet",
+                            f"{REF_MMDET}/mmdet/models/backbones/resnet.py")
+    fpn_mod = _load_file("mmdet.models.necks.fpn",
+                         f"{REF_MMDET}/mmdet/models/necks/fpn.py")
+
+    def make_r50_gn_detector(num_fg_classes=80):
+        backbone = resnet_mod.ResNet(
+            depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+            frozen_stages=1, norm_cfg=dict(type="BN", requires_grad=False),
+            style="caffe")
+        neck = fpn_mod.FPN(
+            in_channels=[256, 512, 1024, 2048], out_channels=256,
+            start_level=1, add_extra_convs=True, extra_convs_on_inputs=False,
+            num_outs=5, relu_before_extra_convs=True)
+        neck.init_weights()
+        head = _cache["make_head"](
+            num_fg_classes=num_fg_classes, in_channels=256, feat_channels=256,
+            stacked_convs=4, center_sampling=True, norm=True)
+        return backbone, neck, head
+
+    _cache.update(dict(ResNet=resnet_mod.ResNet, FPN=fpn_mod.FPN,
+                       make_r50_gn_detector=make_r50_gn_detector))
+    return _cache
 
 
 def load_reference():

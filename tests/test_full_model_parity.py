@@ -1,0 +1,160 @@
+"""Whole-model forward + decode parity vs the reference's own PyTorch model.
+
+Closes VERDICT round-2 missing item 1: every earlier parity test was
+function-level; this one runs the reference's FULL
+ResNet50-caffe -> FPN -> SipMaskHead -> get_bboxes stack
+(mmdet/models/backbones/resnet.py:13-521, necks/fpn.py:10-178,
+anchor_heads/sipmask_head.py:241-287,500-662) on CPU — real ConvModule /
+BN / GN sources, DeformConv transcribed (reference_loader) — converts its
+state_dict through utils/torch_convert.torch_to_flax, and asserts the JAX
+model agrees on:
+  * per-level head outputs (cls/bbox/centerness/cof + basis masks),
+  * decoded detections after multiclass NMS (keep set, order, scores),
+  * final pasted binary masks (interpolate x2/scale_factor, threshold 0.4).
+
+Weights are randomized beyond the default init (BN running stats, GN
+affine, nonzero deform offsets, cls bias lifted above score_thr) so layout
+or semantics bugs in the conv stack, weight converter, or resize
+conventions cannot hide behind zeros.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from reference_loader import reference_available, load_reference_detector  # noqa: E402
+from sipmask_tpu.config import get_config  # noqa: E402
+from sipmask_tpu.models import build_model  # noqa: E402
+from sipmask_tpu.models.decode import decode_batch  # noqa: E402
+from sipmask_tpu.utils.torch_convert import torch_to_flax  # noqa: E402
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="/root/reference not present")
+
+
+class _Cfg(dict):
+    def __getattr__(self, k):
+        return self[k]
+
+
+def _randomize(backbone, neck, head, seed=42):
+    """Perturb weights so every conversion path carries nontrivial values."""
+    g = torch.Generator().manual_seed(seed)
+    for m in (backbone, neck, head):
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.2, generator=g)
+                mod.running_var.uniform_(0.5, 1.5, generator=g)
+                mod.weight.data.uniform_(0.8, 1.2, generator=g)
+                mod.bias.data.normal_(0, 0.1, generator=g)
+            elif isinstance(mod, torch.nn.GroupNorm):
+                mod.weight.data.uniform_(0.8, 1.2, generator=g)
+                mod.bias.data.normal_(0, 0.1, generator=g)
+    # nonzero deform offsets (zero-init would reduce FeatureAlign to a
+    # plain conv and hide offset-layout bugs)
+    head.feat_align.conv_offset.weight.data.normal_(0, 0.2, generator=g)
+    # lift some class scores above score_thr; make box extents positive
+    head.fcos_cls.bias.data.normal_(0, 1.5, generator=g)
+    head.fcos_reg.bias.data.normal_(1.0, 0.2, generator=g)
+    for s in head.scales:
+        s.scale.data.uniform_(0.7, 1.5, generator=g)
+
+
+@pytest.fixture(scope="module")
+def parity():
+    d = load_reference_detector()
+    torch.manual_seed(0)
+    backbone, neck, head = d["make_r50_gn_detector"](num_fg_classes=80)
+    _randomize(backbone, neck, head)
+    backbone.eval(); neck.eval(); head.eval()
+
+    sd = {}
+    for prefix, m in (("backbone", backbone), ("neck", neck),
+                      ("bbox_head", head)):
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.detach().numpy()
+
+    rng = np.random.RandomState(7)
+    img = (rng.randn(1, 3, 96, 128) * 40).astype(np.float32)
+
+    with torch.no_grad():
+        feats = neck(backbone(torch.from_numpy(img)))
+        outs_t = head(feats)
+
+    params, constants = torch_to_flax(sd, depth=50)
+    cfg = get_config("sipmask_r50_fpn_gn_1x")
+    model = build_model(cfg.model)
+    out_j = model.apply({"params": params, "constants": constants},
+                        jnp.asarray(img.transpose(0, 2, 3, 1)))
+    return dict(head=head, outs_t=outs_t, out_j=out_j, cfg=cfg)
+
+
+class TestFullModelParity:
+    def test_head_outputs_match(self, parity):
+        cls_t, box_t, ctr_t, cof_t, fm_t = parity["outs_t"]
+        out_j = parity["out_j"]
+        for name, tl, jl, atol in (
+                ("cls", cls_t, out_j["cls_scores"], 1e-4),
+                ("bbox", box_t, out_j["bbox_preds"], 5e-4),
+                ("centerness", ctr_t, out_j["centernesses"], 1e-4),
+                ("cof", cof_t, out_j["cof_preds"], 1e-4)):
+            for lvl, (t, j) in enumerate(zip(tl, jl)):
+                np.testing.assert_allclose(
+                    np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+                    atol=atol, err_msg=f"{name} level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(out_j["feat_masks"]),
+            fm_t.numpy().transpose(0, 2, 3, 1), atol=1e-4)
+
+    def test_decode_and_masks_match(self, parity):
+        head, cfg = parity["head"], parity["cfg"]
+        cls_t, box_t, ctr_t, cof_t, fm_t = parity["outs_t"]
+        tcfg = _Cfg(nms_pre=1000, score_thr=0.05,
+                    nms=_Cfg(type="nms", iou_thr=0.5), max_per_img=100)
+        img_metas = [dict(img_shape=(96, 128, 3), ori_shape=(120, 160, 3),
+                          scale_factor=0.8)]
+        with torch.no_grad():
+            det_bboxes, det_labels, cls_segms = head.get_bboxes(
+                cls_t, box_t, ctr_t, cof_t, fm_t, img_metas, tcfg,
+                rescale=True)[0]
+
+        out_d = decode_batch(parity["out_j"], jnp.asarray([[96.0, 128.0]]),
+                             jnp.asarray([[0.8] * 4]), cfg.model)
+        v = np.asarray(out_d["valid"][0]).astype(bool)
+        jb = np.asarray(out_d["boxes"][0])[v]
+        js = np.asarray(out_d["scores"][0])[v]
+        jl = np.asarray(out_d["labels"][0])[v]
+        jm = np.asarray(out_d["masks"][0])[v]
+
+        n_ref = det_bboxes.shape[0]
+        assert len(js) == n_ref and n_ref >= 50  # a populated scene
+        np.testing.assert_array_equal(jl, det_labels.numpy())
+        np.testing.assert_allclose(js, det_bboxes[:, 4].numpy(), atol=1e-5)
+        np.testing.assert_allclose(jb, det_bboxes[:, :4].numpy(), atol=1e-3)
+
+        # reference pasted masks, per class in detection order (the stub
+        # pycocotools encode captures the binary array)
+        per_cls = {c: iter([r["arr"] for r in cls_segms[c]])
+                   for c in range(80)}
+        ref_masks = [next(per_cls[int(l)]) for l in det_labels.numpy()]
+        oh, ow = 120, 160
+        ious = []
+        for i in range(n_ref):
+            mm = cv2.resize(jm[i].astype(np.float32), None, fx=2.0 / 0.8,
+                            fy=2.0 / 0.8, interpolation=cv2.INTER_LINEAR)
+            mj = np.zeros((oh, ow), np.uint8)
+            hh, ww = min(oh, mm.shape[0]), min(ow, mm.shape[1])
+            mj[:hh, :ww] = mm[:hh, :ww] > 0.4
+            inter = (mj & ref_masks[i]).sum()
+            union = (mj | ref_masks[i]).sum()
+            ious.append(inter / union if union else 1.0)
+        ious = np.asarray(ious)
+        # cv2 vs F.interpolate bilinear agree up to fp noise at the 0.4
+        # threshold boundary; require near-perfect overlap on every mask
+        assert ious.min() >= 0.97, ious.min()
+        assert ious.mean() >= 0.995, ious.mean()
