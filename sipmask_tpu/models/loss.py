@@ -241,4 +241,7 @@ def _rescoring_loss(aux, feat_masks, gt_masks, rescore_fn):
     pred_iou = jnp.take_along_axis(
         scores, lbl.reshape(bk)[:, None], axis=1).squeeze(1)
     mse = ((pred_iou - iou_t.reshape(bk)) ** 2 * w.reshape(bk)).sum()
-    return mse * 10.0 / (0.1 + jax.lax.stop_gradient(w.sum()))
+    # reference divides by num_iou exactly (:486); max(., 0.1) only guards
+    # the empty case (where the reference would produce 0/0) and is exact
+    # whenever >= 1 target survives the weighting
+    return mse * 10.0 / jnp.maximum(jax.lax.stop_gradient(w.sum()), 0.1)

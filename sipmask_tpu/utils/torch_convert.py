@@ -44,10 +44,14 @@ def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
         C(f"{dst}/mean", sd[f"{src}.running_mean"])
         C(f"{dst}/var", sd[f"{src}.running_var"])
 
-    # ---- backbone
-    P("backbone/conv1/kernel", _cw(sd["backbone.conv1.weight"]))
-    bn("backbone.bn1", "backbone/bn1")
+    # ---- backbone (sections are skipped when absent so partial
+    # state_dicts — e.g. a rescoring-tower-only checkpoint — convert too)
     blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+    if "backbone.conv1.weight" in sd:
+        P("backbone/conv1/kernel", _cw(sd["backbone.conv1.weight"]))
+        bn("backbone.bn1", "backbone/bn1")
+    else:
+        blocks = ()
     for s, nb in enumerate(blocks, start=1):
         for b in range(nb):
             src = f"backbone.layer{s}.{b}"
@@ -119,10 +123,11 @@ def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
             P(f"head/scale_{i}/scale", sd[f"{hd}.scales.{i}.scale"])
 
     # FeatureAlign
-    P("head/feat_align/conv_offset/kernel",
-      _cw(sd[f"{hd}.feat_align.conv_offset.weight"]))
-    P("head/feat_align/kernel",
-      _cw(sd[f"{hd}.feat_align.conv_adaption.weight"]))
+    if f"{hd}.feat_align.conv_offset.weight" in sd:
+        P("head/feat_align/conv_offset/kernel",
+          _cw(sd[f"{hd}.feat_align.conv_offset.weight"]))
+        P("head/feat_align/kernel",
+          _cw(sd[f"{hd}.feat_align.conv_adaption.weight"]))
     if f"{hd}.feat_align.norm.weight" in sd:
         P("head/feat_align/norm/scale", sd[f"{hd}.feat_align.norm.weight"])
         P("head/feat_align/norm/bias", sd[f"{hd}.feat_align.norm.bias"])

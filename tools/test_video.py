@@ -26,9 +26,12 @@ def main():
     ap.add_argument("--out", default="results.json")
     ap.add_argument("--eval", action="store_true",
                     help="run YTVOS eval (needs gt in --ann)")
+    ap.add_argument("--cfg-options", nargs="+", default=None,
+                    help="dotted config overrides, e.g. "
+                         "model.head.num_classes=2")
     args = ap.parse_args()
 
-    from sipmask_tpu.config import get_config
+    from sipmask_tpu.config import get_config, apply_overrides
     from sipmask_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -37,6 +40,7 @@ def main():
     from sipmask_tpu.data.ytvos import YTVOSDataset
 
     cfg = get_config(args.config)
+    cfg = apply_overrides(cfg, args.cfg_options)
     assert cfg.model.head.track, f"{args.config} is not a VIS config"
     det = init_detector(cfg, checkpoint=args.checkpoint)
     dataset = YTVOSDataset(args.ann, args.img_prefix, test_mode=True)

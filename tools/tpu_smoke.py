@@ -127,6 +127,25 @@ def main():
     assert all(np.isfinite(v) for v in losses.values()), losses
     assert losses["loss_mask"] > 0, losses
 
+    # --- golden tolerance bands on device (VERDICT r2 weak item 3): the
+    # same fixtures tests/test_golden.py records on CPU fp32 must land
+    # within bf16-matmul-pass distance on the TPU. A numeric-scale
+    # regression on device (wrong normalization, broken kernel math) fails
+    # here instead of slipping past a finite-only assert.
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    import test_golden as tg
+    for label, fn, golden_path in (
+            ("golden_model_losses", tg._compute, tg.GOLDEN_FILE),
+            ("golden_loss_math", tg._compute_synthetic_outputs,
+             tg.GOLDEN_FILE2)):
+        want = json.load(open(golden_path))
+        got = fn()
+        checks[label] = dict(got=got, want=want)
+        for k, v in want.items():
+            assert abs(got[k] - v) <= 2e-2 * abs(v) + 1e-3, (
+                label, k, got[k], v)
+
     report["checks"] = checks
     report["ok"] = True
     out = json.dumps(report, indent=1)
