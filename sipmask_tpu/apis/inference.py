@@ -64,14 +64,19 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
     return det
 
 
-def inference_detector(det: Detector, img: np.ndarray):
-    """img: (H, W, 3) BGR uint8. Returns dict with boxes (N,4 ori coords),
-    scores, labels (0-based), masks (N, oh, ow) bool."""
+def _dispatch(det: Detector, img: np.ndarray):
+    """Preprocess + launch the jitted forward. Returns (device_out, sample):
+    JAX dispatch is asynchronous, so this returns immediately with on-device
+    futures — the async API awaits the host transfer off-thread."""
     s = det.transform(img)
     fn = det._infer_fn(s.image.shape)
     out = fn(det.variables, jnp.asarray(s.image[None]),
              jnp.asarray(s.img_shape[None]),
              jnp.asarray(s.scale_factor[None]))
+    return out, s
+
+
+def _postprocess(det: Detector, out, s):
     out = {k: np.asarray(v[0]) for k, v in out.items()}
     valid = out["valid"].astype(bool)
     oh, ow = s.ori_shape
@@ -87,6 +92,25 @@ def inference_detector(det: Detector, img: np.ndarray):
     return dict(boxes=out["boxes"][valid], scores=out["scores"][valid],
                 labels=out["labels"][valid],
                 masks=np.stack(masks) if masks else np.zeros((0, oh, ow), bool))
+
+
+def inference_detector(det: Detector, img: np.ndarray):
+    """img: (H, W, 3) BGR uint8. Returns dict with boxes (N,4 ori coords),
+    scores, labels (0-based), masks (N, oh, ow) bool."""
+    out, s = _dispatch(det, img)
+    return _postprocess(det, out, s)
+
+
+async def async_inference_detector(det: Detector, img: np.ndarray):
+    """Async variant (mmdet/apis/inference.py async_inference_detector,
+    tests/test_async.py). The device compute is launched synchronously (JAX
+    dispatch never blocks) and the host transfer + mask paste run in a
+    worker thread, so concurrent requests overlap device execution with
+    host post-processing instead of serializing on the GIL."""
+    import asyncio
+
+    out, s = _dispatch(det, img)
+    return await asyncio.to_thread(_postprocess, det, out, s)
 
 
 def show_result(img, result, class_names, score_thr=0.3, out_file=None):
