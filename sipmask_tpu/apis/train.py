@@ -108,10 +108,29 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
         total_steps = min(total_steps, max_steps)
 
     best_score = -1.0
+
+    def flush_metrics(pending):
+        """Move all buffered step metrics host-side in ONE stacked transfer.
+
+        Fetching the ~7 loss scalars every step costs a device->host round
+        trip each; on a tunneled/remote device that serializes the loop at
+        ~wire-latency x 7 per step (measured ~1 s/step on the axon tunnel
+        for a ~60 ms compute step). Buffering keeps the step loop fully
+        async and pays one transfer per log interval."""
+        if not pending:
+            return
+        keys = list(pending[0])
+        stacked = np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in keys]) for m in pending]))
+        for row in stacked:
+            logger.update(**dict(zip(keys, (float(v) for v in row))))
+        pending.clear()
+
     with mesh:
         state = replicate(state, mesh)
         step = int(state.step)
         batch = first
+        pending = []
         while step < total_steps:
             device_batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()
@@ -119,12 +138,14 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
             state, metrics = step_fn(state, device_batch)
             batch = next(loader)  # overlap host load with device step
             step += 1
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            pending.append(metrics)
             if step % cfg.train.log_interval == 0:
+                flush_metrics(pending)
                 logger.log(step, total_steps, lr=float(sched(step)))
             if (step % (steps_per_epoch *
                         cfg.train.checkpoint_interval_epochs) == 0
                     or step == total_steps):
+                flush_metrics(pending)
                 epoch = step // steps_per_epoch
                 path = os.path.join(work_dir, f"epoch_{epoch}")
                 # meta embeds the full config contents + class names, like

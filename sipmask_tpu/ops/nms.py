@@ -170,11 +170,8 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
     # survives, and the greedy order visits pairs in descending score, so
     # the first max_per_img picks ARE the reference's sorted output. The
     # pick's IoU row is computed lazily against the shared class-agnostic
-    # boxes (self-IoU is 1 under the +1 convention, so the pick suppresses
-    # itself). Replaces top_k over N*C pairs (~4ms at 5000x80 per image)
+    # boxes. Replaces top_k over N*C pairs (~4ms at 5000x80 per image)
     # plus a capped hard_nms — faster AND drops the cap approximation.
-    cls_iota = jnp.arange(c, dtype=jnp.int32)[None, :]
-
     def body(i, state):
         live, kr, kc, ks = state
         jf = jnp.argmax(live.reshape(-1))
@@ -184,13 +181,17 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
         picked = s > NEG / 2
         bj = jax.lax.dynamic_slice(boxes, (row, 0), (1, 4))
         iou = bbox_overlaps(bj, boxes)[0]                 # (N,)
-        # suppress same-class overlaps PLUS the picked pair itself: a
-        # degenerate box (x2 < x1 - 1 after decode, possible early in
-        # training since fcos_reg output is unbounded) has zero self-IoU
-        # under the +1 convention and would otherwise be re-picked forever
-        self_pair = jnp.arange(n, dtype=jnp.int32)[:, None] == row
-        sup = ((iou > iou_thr)[:, None] | self_pair) & (cls_iota == ccls)
-        live = jnp.where(picked & sup, NEG, live)
+        # suppression is same-class only, so rewrite ONLY the picked class's
+        # column (N writes/pick instead of N*C — ~400 MB less loop traffic
+        # per image at the 5000x80 hi-acc shape). Suppress same-class
+        # overlaps PLUS the picked pair itself: a degenerate box
+        # (x2 < x1 - 1 after decode, possible early in training since
+        # fcos_reg output is unbounded) has zero self-IoU under the +1
+        # convention and would otherwise be re-picked forever.
+        col = jax.lax.dynamic_slice(live, (0, ccls), (n, 1))[:, 0]
+        sup = (iou > iou_thr) | (jnp.arange(n, dtype=jnp.int32) == row)
+        col = jnp.where(picked & sup, NEG, col)
+        live = jax.lax.dynamic_update_slice(live, col[:, None], (0, ccls))
         kr = kr.at[i].set(jnp.where(picked, row, 0))
         kc = kc.at[i].set(jnp.where(picked, ccls, -1))
         ks = ks.at[i].set(jnp.where(picked, s, NEG))
