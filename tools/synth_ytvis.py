@@ -22,7 +22,8 @@ import numpy as np
 import cv2
 
 
-def make_dataset(out_dir, num_videos=6, frames=4, size=256, seed=0):
+def make_dataset(out_dir, num_videos=6, frames=4, size=256, seed=0,
+                 max_objects=2):
     rng = np.random.RandomState(seed)
     img_root = os.path.join(out_dir, "imgs")
     videos, annotations = [], []
@@ -30,7 +31,7 @@ def make_dataset(out_dir, num_videos=6, frames=4, size=256, seed=0):
     for vi in range(num_videos):
         vdir = f"v{vi:03d}"
         os.makedirs(os.path.join(img_root, vdir), exist_ok=True)
-        n_obj = rng.randint(1, 3)
+        n_obj = rng.randint(1, max_objects + 1)
         objs = []
         for _ in range(n_obj):
             objs.append(dict(
@@ -106,9 +107,12 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-objects", type=int, default=2,
+                    help="objects per video (1 = no crossing tracks,\n                    for clean tracker-loop proofs)")
     args = ap.parse_args()
     ann_file, img_root = make_dataset(args.out_dir, args.num_videos,
-                                      args.frames, args.size, args.seed)
+                                      args.frames, args.size, args.seed,
+                                      args.max_objects)
     n = len(json.load(open(ann_file))["annotations"])
     print(f"wrote {ann_file} ({args.num_videos} videos x {args.frames} "
           f"frames, {n} tracks), images in {img_root}")
