@@ -122,9 +122,8 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
                 else bbox_preds)
     det_bboxes = distance2bbox(pts, jax.lax.stop_gradient(det_dist))
 
-    def per_image(labels_i, gt_inds_i, cof_i, cls_i, det_i, basis_i,
-                  gt_boxes_i, gt_masks_i):
-        mask_h, mask_w = basis_i.shape[0], basis_i.shape[1]
+    def per_image(labels_i, gt_inds_i, cof_i, cls_i, det_i,
+                  gt_boxes_i):
         bbox_dt = det_i / 2.0  # mask (stride-2) coordinates (:409)
         area = (bbox_dt[:, 2] - bbox_dt[:, 0]) * (bbox_dt[:, 3] - bbox_dt[:, 1])
         valid = (labels_i > 0) & (area > 1.0)  # (:411,421)
@@ -174,24 +173,35 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
             final_valid = sel_valid
         n_final = jnp.maximum(final_valid.sum().astype(jnp.float32), 1.0)
 
-        # gt gather folded into the BCE's linear term: K positives index
-        # only G distinct masks, so the (Hm, Wm, K) gathered gt tensor is
-        # never materialized (mask_bce_loss_indexed)
-        pre = mask_bce_loss_indexed(basis_i, cof_sel, box_sel,
-                                    gt_masks_i, gtidx_sel)    # (K,)
-        csz = center_size(box_sel)
-        bw = jnp.where(final_valid, csz[:, 2], 1.0)
-        bh = jnp.where(final_valid, csz[:, 3], 1.0)
-        pre = pre / bw / bh / n_final  # (:459-462)
-        loss_m = jnp.sum(jnp.where(final_valid, pre * w_norm, 0.0))
         aux = dict(topi=topi, sel_valid=sel_valid, box_sel=box_sel,
                    cof_sel=cof_sel, gtidx_sel=gtidx_sel,
                    labels_sel=jnp.take(lbl, topi))
-        return loss_m, aux
+        return w_norm, final_valid, n_final, aux
 
-    loss_mask_b, aux = jax.vmap(per_image)(
-        labels, gt_inds, cof_preds, cls_logits, det_bboxes, feat_masks,
-        gt_bboxes, batch["gt_masks"])
+    w_norm, final_valid, n_final, aux = jax.vmap(per_image)(
+        labels, gt_inds, cof_preds, cls_logits, det_bboxes, gt_bboxes)
+
+    # Per-positive pixel-summed BCE of the assembled mask. On TPU this runs
+    # the fused Pallas kernel (ops/pallas/mask_loss.py) — assembly, quadrant
+    # select, gt gather and reduction in VMEM, no (Hm, Wm, K) HBM tensors;
+    # elsewhere the XLA colmix path (gt gather folded into the BCE's linear
+    # matmul term, mask_bce_loss_indexed). Same math either way.
+    from ..ops.pallas.mask_loss import (mask_bce_fused_available,
+                                        mask_bce_loss_fused)
+    if mask_bce_fused_available():
+        pre = mask_bce_loss_fused(feat_masks, aux["cof_sel"],
+                                  aux["box_sel"], batch["gt_masks"],
+                                  aux["gtidx_sel"])           # (B, K)
+    else:
+        pre = jax.vmap(mask_bce_loss_indexed)(
+            feat_masks, aux["cof_sel"], aux["box_sel"],
+            batch["gt_masks"], aux["gtidx_sel"])              # (B, K)
+
+    csz = center_size(aux["box_sel"])                         # (B, K, 4)
+    bw = jnp.where(final_valid, csz[..., 2], 1.0)
+    bh = jnp.where(final_valid, csz[..., 3], 1.0)
+    pre = pre / bw / bh / n_final[:, None]  # (:459-462)
+    loss_mask_b = jnp.where(final_valid, pre * w_norm, 0.0).sum(1)
     loss_mask = loss_mask_b.sum() / b  # (:484)
     if cfg.benchmark_loss_extras:
         # benchmark fork caps runaway mask loss (fcos_core loss.py:487-488)

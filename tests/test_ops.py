@@ -612,3 +612,92 @@ class TestMaskBceIndexed:
             basis, c, boxes, gt_g, gt_idx).sum())(cofs)
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestFusedMaskBce:
+    """Fused Pallas mask-loss kernel (ops/pallas/mask_loss.py) vs the XLA
+    colmix path, run in interpret mode on CPU. Matches the training-path
+    contract: same per-positive BCE values, gradients in basis and cofs,
+    zero-contribution padding."""
+
+    @staticmethod
+    def _indexed(*a, **k):
+        from sipmask_tpu.ops.crop_split import mask_bce_loss_indexed
+        return mask_bce_loss_indexed(*a, **k)
+
+    def _fixture(self, seed=0, b=2, h=48, w=80, nb=32, k=64, g=5):
+        rng = np.random.RandomState(seed)
+        basis = jnp.asarray(rng.randn(b, h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(b, k, 4 * nb).astype(np.float32) * 0.3)
+        x1 = rng.uniform(-5, w - 10, (b, k))
+        y1 = rng.uniform(-5, h - 10, (b, k))
+        bw = rng.uniform(0.5, 40, (b, k))
+        bh = rng.uniform(0.5, 30, (b, k))
+        boxes = jnp.asarray(
+            np.stack([x1, y1, x1 + bw, y1 + bh], -1).astype(np.float32))
+        gt = jnp.asarray((rng.rand(b, g, h, w) > 0.5).astype(np.uint8))
+        gidx = jnp.asarray(rng.randint(0, g, (b, k)).astype(np.int32))
+        return basis, cofs, boxes, gt, gidx
+
+    def test_forward_matches_indexed(self):
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture()
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True)
+        # kernel computes the matmuls in bf16 (matches TPU default matmul
+        # precision of the XLA path); pixel sums agree to ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=0.5)
+
+    def test_gradients_match(self):
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture(seed=1)
+        wv = jnp.asarray(
+            np.random.RandomState(2).rand(*cofs.shape[:2]).astype(np.float32))
+
+        def loss_ref(b_, c_):
+            return (jax.vmap(self._indexed)(
+                b_, c_, boxes, gt, gidx) * wv).sum()
+
+        def loss_fused(b_, c_):
+            return (mask_bce_loss_fused(b_, c_, boxes, gt, gidx,
+                                        interpret=True) * wv).sum()
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(basis, cofs)
+        gf = jax.grad(loss_fused, argnums=(0, 1))(basis, cofs)
+        for a, b_ in zip(gr, gf):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            # bf16 kernel vs f32 XLA: compare direction + magnitude
+            np.testing.assert_allclose(
+                np.linalg.norm(a - b_) / np.linalg.norm(a), 0, atol=2e-2)
+
+    def test_boxes_and_gt_carry_zero_grad(self):
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture(seed=3, b=1, k=16)
+
+        def loss(bx):
+            return mask_bce_loss_fused(basis, cofs, bx, gt, gidx,
+                                       interpret=True).sum()
+
+        g = jax.grad(loss)(boxes)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_flat_padding_excluded(self):
+        # h*w not a multiple of P_TILE and a box hanging past the bottom
+        # edge: padded pixel rows must contribute nothing
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        rng = np.random.RandomState(4)
+        b, h, w, nb, k, g = 1, 30, 40, 32, 8, 2
+        basis = jnp.asarray(rng.randn(b, h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(b, k, 4 * nb).astype(np.float32))
+        boxes = jnp.asarray(
+            np.tile(np.array([[2.0, 2.0, 38.0, 60.0]], np.float32),
+                    (k, 1))[None])                     # y2 far past h
+        gt = jnp.asarray((rng.rand(b, g, h, w) > 0.5).astype(np.uint8))
+        gidx = jnp.zeros((b, k), jnp.int32)
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=0.5)
