@@ -50,6 +50,54 @@ class Scale(nn.Module):
         return x * s.astype(x.dtype)
 
 
+def group_norm_nhwc(x, scale, bias, groups: int, eps: float):
+    """GroupNorm over NHWC without materializing the (B,H,W,G,C/G) view.
+
+    flax's nn.GroupNorm reshapes the activation into the grouped form, which
+    on TPU materializes a relayouted f32 copy per call (~4.7 ms/step across
+    the 587 GN sites of the hi-acc train profile). This formulation keeps
+    every large tensor in its native NHWC layout: one fused pass produces
+    per-(image, channel) sum and sum-of-squares, the (B, C) -> (B, G) group
+    reduce is trivial, and mean/rstd fold into a per-channel affine so the
+    apply is a single elementwise pass (which XLA fuses into the following
+    ReLU/conv). Same single-pass variance as flax's use_fast_variance
+    default; stats in f32.
+    """
+    b, h, w, c = x.shape
+    cg = c // groups
+    xf = x.astype(jnp.float32)
+    s1 = xf.sum(axis=(1, 2))           # (B, C); XLA fuses both sums into
+    s2 = (xf * xf).sum(axis=(1, 2))    # one read of x
+    n = float(h * w * cg)
+    mean = s1.reshape(b, groups, cg).sum(-1) / n          # (B, G)
+    var = s2.reshape(b, groups, cg).sum(-1) / n - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)                        # (B, G)
+    g_sc = scale.astype(jnp.float32).reshape(groups, cg)
+    g_bi = bias.astype(jnp.float32).reshape(groups, cg)
+    sc = (rstd[:, :, None] * g_sc).reshape(b, c)
+    bi = (g_bi - (mean * rstd)[:, :, None] * g_sc).reshape(b, c)
+    y = xf * sc[:, None, None, :] + bi[:, None, None, :]
+    return y.astype(x.dtype)
+
+
+class GroupNorm32(nn.Module):
+    """Drop-in for nn.GroupNorm(num_groups, epsilon) with NHWC-native stats.
+
+    Parameter names/shapes ('scale', 'bias', per-channel) match flax's
+    GroupNorm so checkpoints and the torch converter are unaffected.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm_nhwc(x, scale, bias, self.num_groups, self.epsilon)
+
+
 class ConvModule(nn.Module):
     """conv -> (GroupNorm32) -> (ReLU), matching mmdet's ConvModule defaults.
 
@@ -76,8 +124,7 @@ class ConvModule(nn.Module):
                     kernel_init=conv_init(self.weight_init),
                     dtype=self.dtype, name="conv")(x)
         if self.norm == "gn":
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                             name="gn")(x)
+            x = GroupNorm32(num_groups=32, epsilon=1e-5, name="gn")(x)
         if self.act:
             x = nn.relu(x)
         return x

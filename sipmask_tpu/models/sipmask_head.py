@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import (ConvModule, Scale, conv_init, bias_init_with_prob,
-                     resize_bilinear)
+from .layers import (ConvModule, GroupNorm32, Scale, conv_init,
+                     bias_init_with_prob, resize_bilinear)
 from ..ops.deform_conv import deform_conv2d
 from ..config import HeadConfig
 
@@ -51,7 +51,7 @@ class FeatureAlign(nn.Module):
         x = deform_conv2d(x, offsets, weight.astype(x.dtype),
                           padding=1, deform_groups=self.deform_groups)
         if self.with_norm:
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)
+            x = GroupNorm32(num_groups=32, epsilon=1e-5, name="norm")(x)
         return nn.relu(x).astype(self.dtype)
 
 

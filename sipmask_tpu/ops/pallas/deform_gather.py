@@ -90,7 +90,10 @@ def _pad_to(x, n, axis):
 def sample_ref(x_rows, pyx, h, w):
     """XLA reference: bilinear sample of flattened rows at positions pyx.
 
-    x_rows: (N, Q=h*w, Cg); pyx: (N, K, P, 2) float (py, px).
+    x_rows: (N, Q=h*w, Cg); pyx: (N, K, P, 2) float (py, px); returns
+    (N, P, K, Cg) — p-major, so the caller's tap contraction consumes the
+    kernel output without a relayout (the (N, K, P, Cg) form cost ~10 ms of
+    transpose copies per hi-acc train step).
     Out-of-bounds corners contribute 0 (CUDA ``deformable_im2col_bilinear``
     semantics). Differentiable in x_rows and pyx; used for the CPU fallback,
     parity tests, and gradient cross-checks.
@@ -115,7 +118,7 @@ def sample_ref(x_rows, pyx, h, w):
 
             g = jax.vmap(per_n)(x_rows, qi)
             out = out + g * (wgt * inb).astype(x_rows.dtype)[..., None]
-    return out
+    return out.transpose(0, 2, 1, 3)
 
 
 def _tile_ranges(pyxp, h, w, n, k, pb, q_blk):
@@ -182,7 +185,10 @@ def _prep(x_rows, pyx, g=None):
         # padded positions at -2 -> every tent weight is exactly 0
         mask = (jnp.arange(ppad) < p)[None, None, :, None]
         pyxp = jnp.where(mask, pyxp, -2.0)
-    gp = _pad_to(g, ppad, 2) if g is not None else None
+    # g (the out-cotangent) is p-major (N, P, K, Cg): flatten the tap/channel
+    # dims (the kernels read per-tap lane slices) and pad the p axis
+    gp = (_pad_to(g.reshape(n, p, k * cg), ppad, 1)
+          if g is not None else None)
     return xp, pyxp, gp, (n, q, cg, k, p, qpad, ppad)
 
 
@@ -253,9 +259,10 @@ def _fwd_sep_kernel(scal_ref, pyx_ref, x_ref, out_ref, sx_ref, pys_ref,
 
     jax.lax.fori_loop(ws, rhi + 1, body, 0)
 
+    cg = acc_ref.shape[-1]
     for t in range(k_n):
-        out_ref[0, t] = acc_ref[t * p_blk:(t + 1) * p_blk, :].astype(
-            out_ref.dtype)
+        out_ref[0, :, t * cg:(t + 1) * cg] = acc_ref[
+            t * p_blk:(t + 1) * p_blk, :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -293,8 +300,8 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
             pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
             pl.BlockSpec((1, h * wpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k, P_BLK, cg),
-                               lambda bn, bp, *_: (bn, 0, bp, 0)),
+        out_specs=pl.BlockSpec((1, P_BLK, k * cg),
+                               lambda bn, bp, *_: (bn, bp, 0)),
         scratch_shapes=[
             pltpu.VMEM((k * P_BLK, wpad), x_rows.dtype),
             pltpu.VMEM((k * P_BLK, 1), jnp.float32),
@@ -303,12 +310,12 @@ def _sample_pallas_sep(x_rows, pyx, h, w, interpret=False):
     )
     out = pl.pallas_call(
         functools.partial(_fwd_sep_kernel, k_n=k, pb_n=pb, wpad=wpad),
-        out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ppad, k * cg), x_rows.dtype),
         grid_spec=grid_spec,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(scal, _pack_pyx(pyxp, n, ppad, k), xw)
-    return out[:, :, :p, :]
+    return out[:, :p, :].reshape(n, p, k, cg)
 
 
 def _sep_eligible(h, w, cg, xbytes, k):
@@ -346,7 +353,9 @@ def _fwd_kernel(rng_ref, pyx_ref, x_ref, out_ref, acc_ref, *,
             return carry
 
         jax.lax.fori_loop(lo, hi + 1, body, 0)
-        out_ref[0, t] = acc_ref[...].astype(out_ref.dtype)
+        cg = acc_ref.shape[-1]
+        out_ref[0, :, t * cg:(t + 1) * cg] = acc_ref[...].astype(
+            out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -365,18 +374,18 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
             pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
             pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k, P_BLK, cg),
-                               lambda bn, bp, *_: (bn, 0, bp, 0)),
+        out_specs=pl.BlockSpec((1, P_BLK, k * cg),
+                               lambda bn, bp, *_: (bn, bp, 0)),
         scratch_shapes=[pltpu.VMEM((P_BLK, cg), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, qt_n=qt_n, k_n=k, pb_n=pb, w=w),
-        out_shape=jax.ShapeDtypeStruct((n, k, ppad, cg), x_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ppad, k * cg), x_rows.dtype),
         grid_spec=grid_spec,
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
     )(ranges, _pack_pyx(pyxp, n, ppad, k), xp)
-    return out[:, :, :p, :]
+    return out[:, :p, :].reshape(n, p, k, cg)
 
 
 # -------------------------------------------------------------- backward
@@ -388,10 +397,11 @@ def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
 
     del qt_n
     bn, bp = pl.program_id(0), pl.program_id(1)
+    cg = x_ref.shape[-1]
     for t in range(k_n):
         py = pyx_ref[0, :, 2 * t:2 * t + 1]
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
-        g = g_ref[0, t]                          # (P_BLK, Cg)
+        g = g_ref[0, :, t * cg:(t + 1) * cg]     # (P_BLK, Cg)
         base = ((bn * pb_n + bp) * k_n + t) * 2
         lo, hi = rng_ref[base], rng_ref[base + 1]
 
@@ -435,10 +445,11 @@ def _bwd_fused_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, dx_ref, *,
     def _():
         dx_ref[...] = jnp.zeros_like(dx_ref)
 
+    cg = x_ref.shape[-1]
     for t in range(k_n):
         py = pyx_ref[0, :, 2 * t:2 * t + 1]
         px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
-        g = g_ref[0, t]                          # (P_BLK, Cg)
+        g = g_ref[0, :, t * cg:(t + 1) * cg]     # (P_BLK, Cg)
         base = ((bn * pb_n + bp) * k_n + t) * 2
         lo, hi = rng_ref[base], rng_ref[base + 1]
 
@@ -485,10 +496,11 @@ def _bwd_dx_kernel(rng_ref, pyx_ref, g_ref, dx_ref, *, k_n, pb_n, w):
             py = pyx_ref[0, :, 2 * t:2 * t + 1]
             px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
             qy, qx = _grid_coords(bq * Q_BLK, Q_BLK, w)
+            cg = dx_ref.shape[-1]
             s = (_tent(qy - py) * _tent(qx - px)).astype(g_ref.dtype)
             dx_ref[0] += jnp.dot(
-                s.T, g_ref[0, t], preferred_element_type=jnp.float32
-            ).astype(dx_ref.dtype)
+                s.T, g_ref[0, :, t * cg:(t + 1) * cg],
+                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
@@ -510,8 +522,8 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
                 pl.BlockSpec((1, P_BLK, 2 * k),
                              lambda bn, bp, *_: (bn, bp, 0)),
                 pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
-                pl.BlockSpec((1, k, P_BLK, cg),
-                             lambda bn, bp, *_: (bn, 0, bp, 0)),
+                pl.BlockSpec((1, P_BLK, k * cg),
+                             lambda bn, bp, *_: (bn, bp, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, P_BLK, 2 * k),
@@ -536,8 +548,8 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
                 pl.BlockSpec((1, P_BLK, 2 * k),
                              lambda bn, bp, *_: (bn, bp, 0)),
                 pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
-                pl.BlockSpec((1, k, P_BLK, cg),
-                             lambda bn, bp, *_: (bn, 0, bp, 0)),
+                pl.BlockSpec((1, P_BLK, k * cg),
+                             lambda bn, bp, *_: (bn, bp, 0)),
             ],
             out_specs=pl.BlockSpec((1, P_BLK, 2 * k),
                                    lambda bn, bp, *_: (bn, bp, 0)),
@@ -557,8 +569,8 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
             in_specs=[
                 pl.BlockSpec((1, P_BLK, 2 * k),
                              lambda bn, bq, bp, *_: (bn, bp, 0)),
-                pl.BlockSpec((1, k, P_BLK, cg),
-                             lambda bn, bq, bp, *_: (bn, 0, bp, 0)),
+                pl.BlockSpec((1, P_BLK, k * cg),
+                             lambda bn, bq, bp, *_: (bn, bp, 0)),
             ],
             out_specs=pl.BlockSpec((1, Q_BLK, cg),
                                    lambda bn, bq, bp, *_: (bn, bq, 0)),
@@ -591,7 +603,7 @@ def sample_dense(x_rows, pyx, h, w):
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(qy[None, None, None, :] - py[..., None]))
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(qx[None, None, None, :] - px[..., None]))
     s = (ty * tx).astype(x_rows.dtype)                    # (N, K, P, Q)
-    return jnp.einsum("nkpq,nqc->nkpc", s, x_rows,
+    return jnp.einsum("nkpq,nqc->npkc", s, x_rows,
                       preferred_element_type=jnp.float32).astype(x_rows.dtype)
 
 
@@ -614,7 +626,9 @@ def sample_bilinear_rows(x_rows, pyx, h, w):
       x_rows: (N, h*w, Cg) flattened feature rows (N = batch*groups).
       pyx: (N, K, P, 2) f32 sampling positions (py, px) per tap and pixel.
     Returns:
-      (N, K, P, Cg) sampled values. Differentiable in x_rows and pyx.
+      (N, P, K, Cg) sampled values, p-major so the caller's (K*Cg)
+      tap-contraction consumes it without a relayout. Differentiable in
+      x_rows and pyx.
 
     Dispatch: small levels (q <= DENSE_MAX_Q) run the dense XLA einsum;
     large levels run the banded Pallas kernel (TPU) or the XLA gather

@@ -387,7 +387,7 @@ class TestPallasDeformGather:
         # the one-sided subgradient must match the floor-based reference
         pyx[:, :, :20] = np.round(pyx[:, :, :20])
         pyx = jnp.asarray(pyx)
-        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, p, k, cg).astype(np.float32))
         _, vjp = jax.vjp(lambda xr, pp: sample_ref(xr, pp, h, w), x, pyx)
         want_dx, want_dp = vjp(g)
         got_dx, got_dp = _sample_pallas_bwd(x, pyx, g, h, w, interpret=True)
@@ -453,7 +453,7 @@ class TestSampleDense:
         py = base // w + rng.uniform(0.1, 0.9, (n, k, p))
         px = base % w + rng.uniform(0.1, 0.9, (n, k, p))
         pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
-        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, p, k, cg).astype(np.float32))
         dx1, dp1 = jax.vjp(lambda a, b: sample_dense(a, b, h, w), x, pyx)[1](g)
         dx2, dp2 = jax.vjp(lambda a, b: sample_ref(a, b, h, w), x, pyx)[1](g)
         np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx2),
@@ -523,7 +523,7 @@ class TestDxKernelDispatch:
         py = base // w + rng.randn(n, k, p)
         px = base % w + rng.randn(n, k, p)
         pyx = jnp.asarray(np.stack([py, px], -1).astype(np.float32))
-        g = jnp.asarray(rng.randn(n, k, p, cg).astype(np.float32))
+        g = jnp.asarray(rng.randn(n, p, k, cg).astype(np.float32))
         dx_res, dp_res = dg._sample_pallas_bwd(x, pyx, g, h, w,
                                                interpret=True)
         monkeypatch.setattr(dg, "DX_RESIDENT_MAX_BYTES", 0)

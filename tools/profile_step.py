@@ -27,12 +27,22 @@ def newest_trace(log_dir):
 
 
 HBM_GBPS = 819.0  # v5e HBM bandwidth
+PEAK_TFLOPS = 197.0  # v5e bf16 peak
+
+
+def _repo_frame(stack):
+    """First /root/repo frame of a source_stack (innermost model code)."""
+    for line in stack.split("\n"):
+        if line.startswith("/root/repo") and "profile_step" not in line:
+            parts = line.rsplit(":", 2)
+            return f"{parts[0].split('/root/repo/')[-1]}:{parts[1]}"
+    return "?"
 
 
 def parse_trace(path, steps=1):
-    """Aggregate device XLA-op events; returns (op_rows, cat_rows, total_ms)
-    per step, with bytes_accessed-derived achieved HBM bandwidth for the
-    roofline read."""
+    """Aggregate device XLA-op events; returns (op_rows, cat_rows, src_rows,
+    totals) per step, with bytes_accessed-derived achieved HBM bandwidth and
+    model_flops-derived MXU utilization for the roofline read."""
     d = json.load(gzip.open(path))
     ev = d["traceEvents"]
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
@@ -42,9 +52,13 @@ def parse_trace(path, steps=1):
     device_pids = {p for p, n in pids.items() if "TPU" in n}
     agg_us = collections.Counter()
     agg_bytes = collections.Counter()
+    agg_flops = collections.Counter()
     count = collections.Counter()
     cat_of = {}
+    src_us = collections.Counter()
+    src_flops = collections.Counter()
     total_us = 0.0
+    total_flops = 0
     for e in ev:
         if e.get("ph") != "X" or e["pid"] not in device_pids:
             continue
@@ -56,28 +70,46 @@ def parse_trace(path, steps=1):
             continue
         name = re.sub(r"\.\d+$", "", e.get("name", "?"))
         a = e.get("args", {})
+        fl = int(a.get("model_flops", 0) or 0)
         agg_us[name] += e.get("dur", 0)
         agg_bytes[name] += int(a.get("bytes_accessed", 0) or 0)
+        agg_flops[name] += fl
+        total_flops += fl
         count[name] += 1
         cat_of[name] = a.get("hlo_category", "?")
+        src = _repo_frame(a.get("source_stack", ""))
+        src_us[src] += e.get("dur", 0)
+        src_flops[src] += fl
     op_rows = []
     for name, us in agg_us.most_common():
         ms = us / 1e3 / steps
         gb = agg_bytes[name] / 1e9 / steps
+        tf = agg_flops[name] / 1e12 / steps
         op_rows.append(dict(
             op=name, cat=cat_of[name], ms=round(ms, 3),
             calls=max(count[name] // steps, 1), gb=round(gb, 3),
+            tflops=round(tf, 3),
             gbps=round(gb / (ms / 1e3), 1) if ms > 0 else 0.0,
-            hbm_frac=round(gb / (ms / 1e3) / HBM_GBPS, 2) if ms > 0 else 0.0))
+            hbm_frac=round(gb / (ms / 1e3) / HBM_GBPS, 2) if ms > 0 else 0.0,
+            mxu_frac=round(tf / (ms / 1e3) / PEAK_TFLOPS, 2)
+            if ms > 0 else 0.0))
     cats = collections.Counter()
     cat_bytes = collections.Counter()
+    cat_flops = collections.Counter()
     for name, us in agg_us.items():
         cats[cat_of[name]] += us
         cat_bytes[cat_of[name]] += agg_bytes[name]
+        cat_flops[cat_of[name]] += agg_flops[name]
     cat_rows = [dict(cat=c, ms=round(us / 1e3 / steps, 3),
-                     gb=round(cat_bytes[c] / 1e9 / steps, 3))
+                     gb=round(cat_bytes[c] / 1e9 / steps, 3),
+                     tflops=round(cat_flops[c] / 1e12 / steps, 3))
                 for c, us in cats.most_common()]
-    return op_rows, cat_rows, total_us / 1e3 / steps
+    src_rows = [dict(src=s, ms=round(us / 1e3 / steps, 3),
+                     tflops=round(src_flops[s] / 1e12 / steps, 3))
+                for s, us in src_us.most_common()]
+    return op_rows, cat_rows, src_rows, dict(
+        total_ms=total_us / 1e3 / steps,
+        total_tflops=total_flops / 1e12 / steps)
 
 
 def main():
@@ -87,6 +119,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--shape", type=int, nargs=2, default=None)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="compute dtype override (bench.py uses bfloat16)")
     ap.add_argument("--logdir", default="/tmp/sipmask_profile")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--json-out", default=None)
@@ -95,14 +130,14 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from sipmask_tpu.config import get_config
+    from sipmask_tpu.config import get_config, _r
     from sipmask_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
     from sipmask_tpu.models import build_model
     from sipmask_tpu.models.decode import decode_batch
 
-    cfg = get_config(args.config)
+    cfg = _r(get_config(args.config), "model", compute_dtype=args.dtype)
     h, w = args.shape or cfg.data.fixed_size or (
         min(cfg.data.img_scale), min(cfg.data.img_scale))
     rng = np.random.RandomState(0)
@@ -145,26 +180,36 @@ def main():
     jax.effects_barrier()
     jax.profiler.stop_trace()
 
-    op_rows, cat_rows, total = parse_trace(newest_trace(args.logdir),
-                                           steps=args.steps)
-    print(f"# device profile: {args.config} {args.mode} bs{b} {h}x{w} "
-          f"({args.steps} steps; module total {total:.2f} ms/step)")
-    print("## by hlo_category (ms | GB accessed | implied GB/s)")
+    op_rows, cat_rows, src_rows, totals = parse_trace(
+        newest_trace(args.logdir), steps=args.steps)
+    total = totals["total_ms"]
+    mfu = totals["total_tflops"] / (total / 1e3) / PEAK_TFLOPS
+    print(f"# device profile: {args.config} {args.mode} {args.dtype} bs{b} "
+          f"{h}x{w} ({args.steps} steps; module total {total:.2f} ms/step; "
+          f"{totals['total_tflops']:.2f} TFLOP/step -> MFU {mfu:.3f})")
+    print("## by hlo_category (ms | GB accessed | implied GB/s | TFLOP)")
     for r in cat_rows:
         gbps = r["gb"] / (r["ms"] / 1e3) if r["ms"] else 0
         print(f"{r['ms']:9.3f} ms  {r['gb']:8.2f} GB  {gbps:6.0f} GB/s  "
-              f"{r['cat']}")
-    print(f"## top {args.top} ops (ms | calls | GB | achieved-HBM frac)")
+              f"{r['tflops']:7.3f} TF  {r['cat']}")
+    print(f"## top {args.top} ops (ms | calls | GB | HBM frac | MXU frac)")
     for r in op_rows[:args.top]:
         print(f"{r['ms']:9.3f} ms  x{r['calls']:<4d} {r['gb']:8.3f} GB "
-              f"{r['hbm_frac']:5.2f}  [{r['cat']}] {r['op']}")
+              f"{r['hbm_frac']:5.2f} {r['mxu_frac']:5.2f} "
+              f"[{r['cat']}] {r['op']}")
     rest = sum(r["ms"] for r in op_rows[args.top:])
     print(f"{rest:9.3f} ms        (+{max(len(op_rows)-args.top, 0)} more)")
+    print(f"## by repo source line (top {args.top})")
+    for r in src_rows[:args.top]:
+        print(f"{r['ms']:9.3f} ms  {r['tflops']:7.3f} TF  {r['src']}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(dict(config=args.config, mode=args.mode, batch=b,
-                           hw=[h, w], module_ms=round(total, 3),
-                           categories=cat_rows, ops=op_rows), f, indent=1)
+                           dtype=args.dtype, hw=[h, w],
+                           module_ms=round(total, 3),
+                           tflops_per_step=round(totals["total_tflops"], 3),
+                           mfu=round(mfu, 4), categories=cat_rows,
+                           sources=src_rows, ops=op_rows), f, indent=1)
         print(f"wrote {args.json_out}")
 
 
