@@ -109,7 +109,8 @@ class TestCropSplit:
 
 def _greedy_nms_oracle(boxes, scores, iou_thr):
     """Plain-python greedy NMS with the +1 IoU (nms_kernel.cu:14-21)."""
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")  # ties break by lowest index,
+    # matching the implementation's argmax-first-occurrence pick order
     keep = []
     suppressed = np.zeros(len(boxes), bool)
     for i in order:
@@ -170,6 +171,37 @@ class TestNMS:
         assert v.sum() == 3                      # each pair picked once
         assert list(idxs) == [0, 1, 2]           # descending score order
         assert len(set(idxs)) == 3               # no duplicates
+
+    def test_multiclass_nms_tied_scores_early_stop_exact(self):
+        # stress the class-batched loop's early stop: masses of EXACTLY
+        # tied scores across classes mean the "finalized" check's strict
+        # inequality must keep iterating until every tie is resolved by a
+        # real per-class pick; keep set must equal the per-class oracle
+        rng = np.random.RandomState(7)
+        n, c = 400, 12
+        boxes = rng.uniform(0, 200, (n, 4)).astype(np.float32)
+        boxes[:, 2:] = boxes[:, :2] + rng.uniform(4, 60, (n, 2))
+        # quantize scores hard so ties are everywhere (incl. across classes)
+        scores = (np.round(rng.rand(n, c) * 8) / 8).astype(np.float32)
+        out = multiclass_nms_idx(jnp.asarray(boxes), jnp.asarray(scores),
+                                 0.05, 0.5, 50)
+        v = np.asarray(out["valid"])
+        got = set(zip(np.asarray(out["idxs"])[v].tolist(),
+                      np.asarray(out["labels"])[v].tolist()))
+        # oracle: per-class greedy NMS, concatenate, global top-50 by score
+        pairs = []
+        for cc in range(c):
+            s = scores[:, cc].copy()
+            s[s <= 0.05] = -1
+            keep = _greedy_nms_oracle(boxes, s, 0.5)
+            pairs += [(i, cc, s[i]) for i in keep if s[i] > 0.05]
+        pairs.sort(key=lambda t: -t[2])
+        kth = pairs[49][2] if len(pairs) >= 50 else -1
+        must = {(i, cc) for i, cc, s in pairs[:50] if s > kth}
+        opt = {(i, cc) for i, cc, s in pairs if s == kth}
+        assert must <= got                        # strictly-above-kth picks
+        assert got - must <= opt                  # rest only from the tie band
+        assert len(got) == min(50, len(pairs))
 
     def test_multiclass_nms_score_factor_ordering(self):
         boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
