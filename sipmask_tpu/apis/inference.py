@@ -51,6 +51,16 @@ def init_detector(config_name: str, checkpoint: Optional[str] = None,
         min(cfg.data.img_scale), min(cfg.data.img_scale))
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed),
                                     jnp.zeros((1, h, w, 3), jnp.float32))
+    if cfg.model.head.rescoring:
+        # the rescoring tower is only reachable through model.rescore, so a
+        # plain __call__ init leaves its params missing (same merge as
+        # train/state.py create_train_state)
+        resc = jax.jit(lambda r, d: model.init(r, d, method=model.rescore))(
+            jax.random.PRNGKey(seed), jnp.zeros((1, h // 2, w // 2, 1)))
+        params = dict(variables["params"])
+        params.update(resc["params"])
+        variables = {"params": params,
+                     "constants": variables.get("constants", {})}
     det = Detector(cfg, model, variables)
     if checkpoint:
         from ..train.state import TrainState

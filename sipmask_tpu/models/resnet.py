@@ -144,7 +144,11 @@ class ResNet(nn.Module):
                     stride=stride if b == 0 else 1,
                     downsample=(b == 0),
                     style=self.style,
-                    with_dcn=self.stage_with_dcn[stage],
+                    # the SipMask fork gates DCN to every 3rd block of an
+                    # enabled stage — block 0 and i % 3 == 0 (mmdet
+                    # backbones/resnet.py:281,288-291) — NOT all blocks as in
+                    # stock mmdet; e.g. R101 stage 3 has 8 of 23 DCN blocks
+                    with_dcn=self.stage_with_dcn[stage] and b % 3 == 0,
                     dcn_deform_groups=self.dcn_deform_groups,
                     groups=self.groups,
                     base_width=self.base_width,
