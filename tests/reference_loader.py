@@ -536,8 +536,13 @@ def load_reference_detector():
     if "ResNet" in _cache:
         return _cache
     load_reference()
+    # package stub so resnext.py's relative imports (`from .resnet import`,
+    # `from ..registry import`) resolve
+    _stub_module("mmdet.models.backbones", is_pkg=True)
     resnet_mod = _load_file("mmdet.models.backbones.resnet",
                             f"{REF_MMDET}/mmdet/models/backbones/resnet.py")
+    resnext_mod = _load_file("mmdet.models.backbones.resnext",
+                             f"{REF_MMDET}/mmdet/models/backbones/resnext.py")
     fpn_mod = _load_file("mmdet.models.necks.fpn",
                          f"{REF_MMDET}/mmdet/models/necks/fpn.py")
 
@@ -557,6 +562,7 @@ def load_reference_detector():
         return backbone, neck, head
 
     _cache.update(dict(ResNet=resnet_mod.ResNet, FPN=fpn_mod.FPN,
+                       ResNeXt=resnext_mod.ResNeXt,
                        make_r50_gn_detector=make_r50_gn_detector))
     return _cache
 
