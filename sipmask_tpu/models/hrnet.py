@@ -63,7 +63,6 @@ class FuseUnit(nn.Module):
         outs = []
         for i in range(n):  # receiving branch
             acc = xs[i]
-            h, w = xs[i].shape[1:3]
             for j in range(n):  # sending branch
                 if j == i:
                     continue
@@ -74,7 +73,11 @@ class FuseUnit(nn.Module):
                                 dtype=self.dtype, name=f"up_{j}_{i}_conv")(y)
                     y = FrozenBatchNorm(self.widths[i],
                                         name=f"up_{j}_{i}_bn")(y)
-                    y = resize_bilinear(y, h, w)
+                    # the exchange unit upsamples NEAREST (hrnet.py:136-137
+                    # nn.Upsample(scale_factor=2**(j-i), mode='nearest'));
+                    # integer-factor nearest == pixel repetition, exact
+                    f = 2 ** (j - i)
+                    y = jnp.repeat(jnp.repeat(y, f, axis=1), f, axis=2)
                 else:  # higher res -> chain of stride-2 convs
                     for s in range(i - j):
                         last = s == i - j - 1

@@ -27,6 +27,80 @@ def _cw(w):  # conv weight OIHW -> HWIO
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 
 
+def _hrnet_backbone(sd, P, bn):
+    """HRNet state_dict -> models/hrnet.py naming.
+
+    Reference layout (mmdet/models/backbones/hrnet.py):
+      conv1/bn1/conv2/bn2 stem; layer1.{b} Bottlenecks;
+      transition{s-1}.{i}: Sequential(conv, bn, relu) for an existing branch
+      whose channels change (keys .{i}.0 / .{i}.1) or
+      Sequential(Sequential(conv, bn, relu)) for a new branch (.{i}.0.0 /
+      .{i}.0.1); stage{s}.{m}.branches.{i}.{b} BasicBlocks;
+      stage{s}.{m}.fuse_layers.{i}.{j}: Sequential(conv1x1, bn, Upsample)
+      when j > i (.0 / .1), a chain of Sequential(conv3x3s2, bn[, relu])
+      when j < i (.{k}.0 / .{k}.1).
+    """
+    P("backbone/stem_conv1/kernel", _cw(sd["backbone.conv1.weight"]))
+    bn("backbone.bn1", "backbone/stem_bn1")
+    P("backbone/stem_conv2/kernel", _cw(sd["backbone.conv2.weight"]))
+    bn("backbone.bn2", "backbone/stem_bn2")
+
+    b = 0
+    while f"backbone.layer1.{b}.conv1.weight" in sd:
+        src, dst = f"backbone.layer1.{b}", f"backbone/layer1_{b}"
+        for ci in (1, 2, 3):
+            P(f"{dst}/conv{ci}/kernel", _cw(sd[f"{src}.conv{ci}.weight"]))
+            bn(f"{src}.bn{ci}", f"{dst}/bn{ci}")
+        if f"{src}.downsample.0.weight" in sd:
+            P(f"{dst}/downsample_conv/kernel",
+              _cw(sd[f"{src}.downsample.0.weight"]))
+            bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+        b += 1
+
+    for s in (2, 3, 4):
+        t = f"backbone.transition{s - 1}"
+        for i in range(s):
+            if f"{t}.{i}.0.0.weight" in sd:  # new lowest-resolution branch
+                P(f"backbone/t{s}_new{i}/kernel",
+                  _cw(sd[f"{t}.{i}.0.0.weight"]))
+                bn(f"{t}.{i}.0.1", f"backbone/t{s}_newbn{i}")
+            elif f"{t}.{i}.0.weight" in sd:  # channel-changing existing branch
+                P(f"backbone/t{s}_conv{i}/kernel",
+                  _cw(sd[f"{t}.{i}.0.weight"]))
+                bn(f"{t}.{i}.1", f"backbone/t{s}_bn{i}")
+
+        m = 0
+        while f"backbone.stage{s}.{m}.branches.0.0.conv1.weight" in sd:
+            sm = f"backbone.stage{s}.{m}"
+            dm = f"backbone/stage{s}_m{m}"
+            i = 0
+            while f"{sm}.branches.{i}.0.conv1.weight" in sd:
+                b = 0
+                while f"{sm}.branches.{i}.{b}.conv1.weight" in sd:
+                    src = f"{sm}.branches.{i}.{b}"
+                    dst = f"{dm}/branch{i}_block{b}"
+                    for ci in (1, 2):
+                        P(f"{dst}/conv{ci}/kernel",
+                          _cw(sd[f"{src}.conv{ci}.weight"]))
+                        bn(f"{src}.bn{ci}", f"{dst}/bn{ci}")
+                    b += 1
+                i += 1
+            n_br = i
+            for i in range(n_br):
+                for j in range(n_br):
+                    fl = f"{sm}.fuse_layers.{i}.{j}"
+                    if j > i and f"{fl}.0.weight" in sd:
+                        P(f"{dm}/fuse/up_{j}_{i}_conv/kernel",
+                          _cw(sd[f"{fl}.0.weight"]))
+                        bn(f"{fl}.1", f"{dm}/fuse/up_{j}_{i}_bn")
+                    elif j < i:
+                        for k in range(i - j):
+                            P(f"{dm}/fuse/down_{j}_{i}_{k}_conv/kernel",
+                              _cw(sd[f"{fl}.{k}.0.weight"]))
+                            bn(f"{fl}.{k}.1", f"{dm}/fuse/down_{j}_{i}_{k}_bn")
+            m += 1
+
+
 def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
                   ) -> Tuple[dict, dict]:
     """Returns (params, constants) nested dicts."""
@@ -47,7 +121,12 @@ def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
     # ---- backbone (sections are skipped when absent so partial
     # state_dicts — e.g. a rescoring-tower-only checkpoint — convert too)
     blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
-    if "backbone.conv1.weight" in sd:
+    if "backbone.transition1.0.0.weight" in sd:
+        # HRNet (mmdet/models/backbones/hrnet.py): stem convs, stage-1
+        # bottlenecks, transitions, parallel stages with exchange units
+        _hrnet_backbone(sd, P, bn)
+        blocks = ()  # keys overlap the resnet naming; skip that section
+    elif "backbone.conv1.weight" in sd:
         P("backbone/conv1/kernel", _cw(sd["backbone.conv1.weight"]))
         bn("backbone.bn1", "backbone/bn1")
     else:
@@ -84,10 +163,25 @@ def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
         P(f"neck/lateral_{i}/bias", sd[f"neck.lateral_convs.{i}.conv.bias"])
         i += 1
     i = 0
-    while f"neck.fpn_convs.{i}.conv.weight" in sd:
+    # fpn_convs belong to the plain FPN only when laterals exist (HRFPN
+    # also names its per-level convs fpn_convs but has no lateral_convs)
+    while ("neck.lateral_convs.0.conv.weight" in sd
+           and f"neck.fpn_convs.{i}.conv.weight" in sd):
         P(f"neck/fpn_{i}/kernel", _cw(sd[f"neck.fpn_convs.{i}.conv.weight"]))
         P(f"neck/fpn_{i}/bias", sd[f"neck.fpn_convs.{i}.conv.bias"])
         i += 1
+
+    # ---- HRFPN neck (mmdet/models/necks/hrfpn.py: reduction ConvModule +
+    # per-level 3x3 ConvModules, act_cfg=None so plain conv+bias)
+    if "neck.reduction_conv.conv.weight" in sd:
+        P("neck/reduction/kernel", _cw(sd["neck.reduction_conv.conv.weight"]))
+        P("neck/reduction/bias", sd["neck.reduction_conv.conv.bias"])
+        i = 0
+        while f"neck.fpn_convs.{i}.conv.weight" in sd:
+            P(f"neck/fpn_conv{i}/kernel",
+              _cw(sd[f"neck.fpn_convs.{i}.conv.weight"]))
+            P(f"neck/fpn_conv{i}/bias", sd[f"neck.fpn_convs.{i}.conv.bias"])
+            i += 1
 
     # ---- head
     def conv_module(src, dst):

@@ -543,8 +543,23 @@ def load_reference_detector():
                             f"{REF_MMDET}/mmdet/models/backbones/resnet.py")
     resnext_mod = _load_file("mmdet.models.backbones.resnext",
                              f"{REF_MMDET}/mmdet/models/backbones/resnext.py")
+    hrnet_mod = _load_file("mmdet.models.backbones.hrnet",
+                           f"{REF_MMDET}/mmdet/models/backbones/hrnet.py")
     fpn_mod = _load_file("mmdet.models.necks.fpn",
                          f"{REF_MMDET}/mmdet/models/necks/fpn.py")
+    # hrfpn imports caffe2_xavier_init from mmcv.cnn.weight_init
+    import torch.nn as _nn
+
+    def _caffe2_xavier_init(module, bias=0):
+        _nn.init.kaiming_uniform_(module.weight, a=1)
+        if hasattr(module, "bias") and module.bias is not None:
+            _nn.init.constant_(module.bias, bias)
+
+    wi = _stub_module("mmcv.cnn.weight_init",
+                      caffe2_xavier_init=_caffe2_xavier_init)
+    sys.modules["mmcv.cnn"].weight_init = wi
+    hrfpn_mod = _load_file("mmdet.models.necks.hrfpn",
+                           f"{REF_MMDET}/mmdet/models/necks/hrfpn.py")
 
     def make_r50_gn_detector(num_fg_classes=80):
         backbone = resnet_mod.ResNet(
@@ -563,6 +578,7 @@ def load_reference_detector():
 
     _cache.update(dict(ResNet=resnet_mod.ResNet, FPN=fpn_mod.FPN,
                        ResNeXt=resnext_mod.ResNeXt,
+                       HRNet=hrnet_mod.HRNet, HRFPN=hrfpn_mod.HRFPN,
                        make_r50_gn_detector=make_r50_gn_detector))
     return _cache
 

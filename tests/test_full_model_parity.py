@@ -160,6 +160,83 @@ class TestFullModelParity:
         assert ious.mean() >= 0.995, ious.mean()
 
 
+HRNET_W32_EXTRA = dict(
+    stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                num_blocks=(4,), num_channels=(64,)),
+    stage2=dict(num_modules=1, num_branches=2, block="BASIC",
+                num_blocks=(4, 4), num_channels=(32, 64)),
+    stage3=dict(num_modules=4, num_branches=3, block="BASIC",
+                num_blocks=(4, 4, 4), num_channels=(32, 64, 128)),
+    stage4=dict(num_modules=3, num_branches=4, block="BASIC",
+                num_blocks=(4, 4, 4, 4), num_channels=(32, 64, 128, 256)))
+
+
+class TestHRNetHRFPNParity:
+    """Converted-weight parity for the HRNet-W32 backbone (stem, stage-1
+    bottlenecks, transitions, exchange units with NEAREST upsampling —
+    mmdet/models/backbones/hrnet.py:136-137) and the HRFPN neck
+    (necks/hrfpn.py:77-100: bilinear-up concat, 1x1 reduction, avg-pool
+    pyramid) vs the reference's own sources."""
+
+    @pytest.fixture(scope="class")
+    def hr(self):
+        from reference_loader import load_reference_detector
+        det = load_reference_detector()
+        torch.manual_seed(2)
+        bb = det["HRNet"](HRNET_W32_EXTRA,
+                          norm_cfg=dict(type="BN", requires_grad=False))
+        neck = det["HRFPN"](in_channels=[32, 64, 128, 256],
+                            out_channels=256, num_outs=5)
+        neck.init_weights()
+        g = torch.Generator().manual_seed(6)
+        for mod in bb.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.2, generator=g)
+                mod.running_var.uniform_(0.5, 1.5, generator=g)
+                mod.weight.data.uniform_(0.8, 1.2, generator=g)
+                mod.bias.data.normal_(0, 0.1, generator=g)
+        bb.eval(); neck.eval()
+
+        sd = {f"backbone.{k}": v.detach().numpy()
+              for k, v in bb.state_dict().items()}
+        sd.update({f"neck.{k}": v.detach().numpy()
+                   for k, v in neck.state_dict().items()})
+        params, constants = torch_to_flax(sd)
+
+        rng = np.random.RandomState(29)
+        img = (rng.randn(1, 3, 64, 96) * 40).astype(np.float32)
+        with torch.no_grad():
+            feats_t = bb(torch.from_numpy(img))
+            neck_t = neck(feats_t)
+        return dict(params=params, constants=constants, img=img,
+                    feats_t=feats_t, neck_t=neck_t)
+
+    def test_backbone_branches_match(self, hr):
+        from sipmask_tpu.models.hrnet import HRNet as JHRNet
+        jbb = JHRNet(width=32)
+        feats_j = jbb.apply({"params": hr["params"]["backbone"],
+                             "constants": hr["constants"]["backbone"]},
+                            jnp.asarray(hr["img"].transpose(0, 2, 3, 1)))
+        assert len(feats_j) == 4
+        for lvl, (t, j) in enumerate(zip(hr["feats_t"], feats_j)):
+            np.testing.assert_allclose(
+                np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+                atol=1e-4, err_msg=f"branch {lvl}")
+
+    def test_hrfpn_levels_match(self, hr):
+        from sipmask_tpu.models.hrnet import HRFPN as JHRFPN
+        feats_j = tuple(jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+                        for t in hr["feats_t"])
+        # base_pool=0 reproduces the reference's stride-4..64 pyramid (the
+        # SipMask presets use base_pool=1 to land on the head's strides)
+        jneck = JHRFPN(out_channels=256, num_outs=5, base_pool=0)
+        neck_j = jneck.apply({"params": hr["params"]["neck"]}, feats_j)
+        for lvl, (t, j) in enumerate(zip(hr["neck_t"], neck_j)):
+            np.testing.assert_allclose(
+                np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+                atol=1e-4, err_msg=f"level {lvl}")
+
+
 class TestResNeXtBackboneParity:
     """Converted-weight parity for the grouped bottleneck
     (mmdet/models/backbones/resnext.py:11-72: width =
