@@ -126,6 +126,31 @@ def torch_to_flax(sd: Dict[str, np.ndarray], depth: int = 50
         # bottlenecks, transitions, parallel stages with exchange units
         _hrnet_backbone(sd, P, bn)
         blocks = ()  # keys overlap the resnet naming; skip that section
+    elif "backbone.features.0.weight" in sd:
+        # SSD-VGG (mmdet/models/backbones/ssd_vgg.py): features Sequential
+        # (convs at even offsets per stage, pools between stages; appended
+        # fc6/fc7 at indices 31/33), extra layers, l2_norm
+        idx = 0
+        for s, n_convs in enumerate((2, 2, 3, 3, 3)):
+            for c in range(n_convs):
+                src = f"backbone.features.{idx}"
+                P(f"backbone/conv{s + 1}_{c + 1}/kernel",
+                  _cw(sd[f"{src}.weight"]))
+                P(f"backbone/conv{s + 1}_{c + 1}/bias", sd[f"{src}.bias"])
+                idx += 2  # skip the relu
+            idx += 1  # stage pool (stage 5's slot is the appended 3x3 pool)
+        for name, i in (("fc6", idx), ("fc7", idx + 2)):
+            P(f"backbone/{name}/kernel",
+              _cw(sd[f"backbone.features.{i}.weight"]))
+            P(f"backbone/{name}/bias", sd[f"backbone.features.{i}.bias"])
+        P("backbone/l2norm/weight", sd["backbone.l2_norm.weight"])
+        i = 0
+        while f"backbone.extra.{i}.weight" in sd:
+            P(f"backbone/extra{i}/kernel",
+              _cw(sd[f"backbone.extra.{i}.weight"]))
+            P(f"backbone/extra{i}/bias", sd[f"backbone.extra.{i}.bias"])
+            i += 1
+        blocks = ()
     elif "backbone.conv1.weight" in sd:
         P("backbone/conv1/kernel", _cw(sd["backbone.conv1.weight"]))
         bn("backbone.bn1", "backbone/bn1")

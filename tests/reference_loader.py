@@ -91,10 +91,44 @@ def _make_torch_stubs():
         if hasattr(module, "bias") and module.bias is not None:
             nn.init.constant_(module.bias, 0)
 
+    class VGG(nn.Module):
+        """Pure-torch transcription of mmcv 0.x ``mmcv/cnn/vgg.py`` (the
+        no-BN slice SSDVGG uses: per-stage [conv3x3(pad=dilation), relu]*n
+        + MaxPool2d(2, 2, ceil_mode), with_last_pool pops the final pool).
+        Test-only scaffolding so the reference's own ssd_vgg.py source can
+        run; everything semantic stays in /root/reference."""
+
+        arch_settings = {11: (1, 1, 2, 2, 2), 13: (2, 2, 2, 2, 2),
+                         16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}
+
+        def __init__(self, depth, with_bn=False, num_classes=-1,
+                     num_stages=5, dilations=(1, 1, 1, 1, 1),
+                     out_indices=(0, 1, 2, 3, 4), frozen_stages=-1,
+                     bn_eval=True, bn_frozen=False, ceil_mode=False,
+                     with_last_pool=True):
+            super().__init__()
+            assert not with_bn and num_classes <= 0
+            stage_blocks = self.arch_settings[depth][:num_stages]
+            self.out_indices = out_indices
+            layers = []
+            inplanes = 3
+            for i, n_blocks in enumerate(stage_blocks):
+                planes = 64 * 2 ** i if i < 4 else 512
+                for _ in range(n_blocks):
+                    layers.append(nn.Conv2d(inplanes, planes, 3,
+                                            padding=dilations[i],
+                                            dilation=dilations[i]))
+                    layers.append(nn.ReLU(inplace=True))
+                    inplanes = planes
+                layers.append(nn.MaxPool2d(2, 2, ceil_mode=ceil_mode))
+            if not with_last_pool:
+                layers.pop(-1)
+            self.features = nn.Sequential(*layers)
+
     mmcv = _stub_module("mmcv", is_pkg=True)
     _stub_module("mmcv.cnn", normal_init=normal_init,
                  constant_init=constant_init, kaiming_init=kaiming_init,
-                 xavier_init=xavier_uniform_init)
+                 xavier_init=xavier_uniform_init, VGG=VGG)
     mmcv.cnn = sys.modules["mmcv.cnn"]
     _stub_module("mmcv.runner",
                  load_checkpoint=lambda *a, **k: None)
@@ -560,6 +594,8 @@ def load_reference_detector():
     sys.modules["mmcv.cnn"].weight_init = wi
     hrfpn_mod = _load_file("mmdet.models.necks.hrfpn",
                            f"{REF_MMDET}/mmdet/models/necks/hrfpn.py")
+    ssdvgg_mod = _load_file("mmdet.models.backbones.ssd_vgg",
+                            f"{REF_MMDET}/mmdet/models/backbones/ssd_vgg.py")
 
     def make_r50_gn_detector(num_fg_classes=80):
         backbone = resnet_mod.ResNet(
@@ -579,6 +615,7 @@ def load_reference_detector():
     _cache.update(dict(ResNet=resnet_mod.ResNet, FPN=fpn_mod.FPN,
                        ResNeXt=resnext_mod.ResNeXt,
                        HRNet=hrnet_mod.HRNet, HRFPN=hrfpn_mod.HRFPN,
+                       SSDVGG=ssdvgg_mod.SSDVGG,
                        make_r50_gn_detector=make_r50_gn_detector))
     return _cache
 

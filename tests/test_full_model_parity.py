@@ -237,6 +237,45 @@ class TestHRNetHRFPNParity:
                 atol=1e-4, err_msg=f"level {lvl}")
 
 
+class TestSSDVGGBackboneParity:
+    """Converted-weight parity for SSD-VGG16 vs the reference's own
+    ssd_vgg.py (ceil-mode pools, dilated fc6/fc7, S-pattern extras,
+    L2Norm with eps outside the sqrt) at both input sizes."""
+
+    @pytest.mark.parametrize("input_size,n_levels", [(300, 6), (512, 7)])
+    def test_feature_maps_match(self, input_size, n_levels):
+        from reference_loader import load_reference_detector
+        from sipmask_tpu.models.ssd_vgg import SSDVGG as JSSDVGG
+
+        det = load_reference_detector()
+        torch.manual_seed(3)
+        bb = det["SSDVGG"](input_size=input_size, depth=16)
+        bb.init_weights()
+        bb.eval()
+
+        sd = {f"backbone.{k}": v.detach().numpy()
+              for k, v in bb.state_dict().items()}
+        params, _ = torch_to_flax(sd)
+
+        rng = np.random.RandomState(31)
+        img = (rng.randn(1, 3, input_size, input_size) * 40).astype(
+            np.float32)
+        with torch.no_grad():
+            feats_t = bb(torch.from_numpy(img))
+
+        jbb = JSSDVGG(input_size=input_size)
+        feats_j = jbb.apply({"params": params["backbone"]},
+                            jnp.asarray(img.transpose(0, 2, 3, 1)))
+        assert len(feats_j) == len(feats_t) == n_levels
+        # VGG has no norm layers, so activations grow to O(100) by fc7 and
+        # conv summation-order noise reaches ~1e-3 absolute; bound both the
+        # absolute error (small values) and relative error (large values)
+        for lvl, (t, j) in enumerate(zip(feats_t, feats_j)):
+            np.testing.assert_allclose(
+                np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=5e-3, err_msg=f"level {lvl}")
+
+
 class TestResNeXtBackboneParity:
     """Converted-weight parity for the grouped bottleneck
     (mmdet/models/backbones/resnext.py:11-72: width =

@@ -191,15 +191,17 @@ class TestSSDVGG:
         import jax
         import jax.numpy as jnp
         from sipmask_tpu.models.ssd_vgg import SSDVGG
-        m = SSDVGG(num_extras=2)
+        m = SSDVGG(input_size=300)
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        x = jnp.asarray(rng.randn(1, 300, 300, 3).astype(np.float32))
         v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         outs = jax.jit(m.apply)(v, x)
-        # conv4_3 @ /8, fc7 @ /16 (pool5 is stride-1), extras /32, /64
+        # canonical SSD300 pyramid (reference ssd_vgg.py docstring):
+        # conv4_3 38x38 (ceil pools), fc7 19x19, extras 10/5/3/1
         assert [o.shape[1:3] for o in outs] == [
-            (8, 8), (4, 4), (2, 2), (1, 1)]
+            (38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
         assert outs[0].shape[-1] == 512 and outs[1].shape[-1] == 1024
+        assert [o.shape[-1] for o in outs[2:]] == [512, 256, 256, 256]
         # L2Norm normalizes conv4_3 channel vectors to ~|gamma|
         n = np.linalg.norm(np.asarray(outs[0][0, 0, 0])) / 20.0
         assert 0.5 < n < 2.0
