@@ -327,9 +327,12 @@ def _make_mmdet_stubs():
     conv_mod = _load_file("mmdet.ops.conv", f"{REF_MMDET}/mmdet/ops/conv.py")
     cm_mod = _load_file("mmdet.ops.conv_module",
                         f"{REF_MMDET}/mmdet/ops/conv_module.py")
+    nl_mod = _load_file("mmdet.ops.non_local",
+                        f"{REF_MMDET}/mmdet/ops/non_local.py")
     scale_mod = _load_file("mmdet.ops.scale", f"{REF_MMDET}/mmdet/ops/scale.py")
     for k, v in dict(
             Scale=scale_mod.Scale, ConvModule=cm_mod.ConvModule,
+            NonLocal2D=nl_mod.NonLocal2D,
             build_conv_layer=conv_mod.build_conv_layer,
             build_norm_layer=norm_mod.build_norm_layer,
             DeformConv=DeformConv, ModulatedDeformConv=DeformConv,
@@ -596,6 +599,8 @@ def load_reference_detector():
                            f"{REF_MMDET}/mmdet/models/necks/hrfpn.py")
     ssdvgg_mod = _load_file("mmdet.models.backbones.ssd_vgg",
                             f"{REF_MMDET}/mmdet/models/backbones/ssd_vgg.py")
+    bfp_mod = _load_file("mmdet.models.necks.bfp",
+                         f"{REF_MMDET}/mmdet/models/necks/bfp.py")
 
     def make_r50_gn_detector(num_fg_classes=80):
         backbone = resnet_mod.ResNet(
@@ -615,7 +620,7 @@ def load_reference_detector():
     _cache.update(dict(ResNet=resnet_mod.ResNet, FPN=fpn_mod.FPN,
                        ResNeXt=resnext_mod.ResNeXt,
                        HRNet=hrnet_mod.HRNet, HRFPN=hrfpn_mod.HRFPN,
-                       SSDVGG=ssdvgg_mod.SSDVGG,
+                       SSDVGG=ssdvgg_mod.SSDVGG, BFP=bfp_mod.BFP,
                        make_r50_gn_detector=make_r50_gn_detector))
     return _cache
 

@@ -237,6 +237,61 @@ class TestHRNetHRFPNParity:
                 atol=1e-4, err_msg=f"level {lvl}")
 
 
+class TestBFPNeckParity:
+    """Converted-weight parity for the BFP neck (mmdet/models/necks/bfp.py:
+    nearest gather/scatter, adaptive-max-pool downsampling, conv or
+    embedded-gaussian non-local refine) vs the reference's own source."""
+
+    @pytest.mark.parametrize("refine_type", ["conv", "non_local"])
+    def test_levels_match(self, refine_type):
+        from reference_loader import load_reference_detector
+        from sipmask_tpu.models.bfp import BFP as JBFP
+
+        det = load_reference_detector()
+        torch.manual_seed(4)
+        neck = det["BFP"](in_channels=32, num_levels=5, refine_level=2,
+                          refine_type=refine_type)
+        neck.init_weights()
+        g = torch.Generator().manual_seed(8)
+        if refine_type == "non_local":
+            # conv_out is zero-init (a no-op residual); randomize so the
+            # pairwise-softmax path is actually compared
+            neck.refine.conv_out.conv.weight.data.normal_(0, 0.1,
+                                                          generator=g)
+            neck.refine.conv_out.conv.bias.data.normal_(0, 0.1, generator=g)
+        neck.eval()
+
+        rng = np.random.RandomState(37)
+        feats_np = [rng.randn(1, 32, 32 // 2 ** i, 48 // 2 ** i)
+                    .astype(np.float32) for i in range(5)]
+        with torch.no_grad():
+            outs_t = neck([torch.from_numpy(f) for f in feats_np])
+
+        if refine_type == "conv":
+            params = {"refine": {
+                "kernel": np.transpose(
+                    neck.refine.conv.weight.detach().numpy(), (2, 3, 1, 0)),
+                "bias": neck.refine.conv.bias.detach().numpy()}}
+        else:
+            params = {"refine": {
+                sub: {"kernel": np.transpose(
+                    getattr(neck.refine, sub).conv.weight.detach().numpy(),
+                    (2, 3, 1, 0)),
+                    "bias": getattr(neck.refine,
+                                    sub).conv.bias.detach().numpy()}
+                for sub in ("g", "theta", "phi", "conv_out")}}
+
+        jneck = JBFP(out_channels=32, refine_level=2,
+                     refine_type=refine_type)
+        outs_j = jneck.apply(
+            {"params": params},
+            tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats_np))
+        for lvl, (t, j) in enumerate(zip(outs_t, outs_j)):
+            np.testing.assert_allclose(
+                np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+                atol=1e-5, err_msg=f"level {lvl}")
+
+
 class TestSSDVGGBackboneParity:
     """Converted-weight parity for SSD-VGG16 vs the reference's own
     ssd_vgg.py (ceil-mode pools, dilated fc6/fc7, S-pattern extras,
