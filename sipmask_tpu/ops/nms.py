@@ -163,56 +163,77 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
             valid=keep_valid,
         )
 
-    # Hard NMS: CLASS-BATCHED greedy over the FULL (N, C) score matrix —
+    # Hard NMS: WAVE-BATCHED greedy over the FULL (N, C) score matrix —
     # no candidate-pair cap at all. Per-class hard NMS is independent
-    # across classes, so one loop iteration takes EVERY class's next
-    # greedy pick at once (batched argmax + batched IoU row + batched
-    # suppression over the (C, N) live matrix — the same ~20-op body the
-    # old one-global-pick loop paid for a SINGLE pick). Concatenating the
+    # across classes, and within a class the next several greedy picks
+    # can be taken in ONE loop iteration: take the class's top-`wave`
+    # live candidates and run exact greedy among them. This is exact
+    # because a candidate can only be suppressed by an ACCEPTED
+    # higher-scored candidate, and every live higher-scored candidate is
+    # inside the window (it is the per-class top-k). Concatenating the
     # per-class keeps and taking the global top-max_per_img by score is
     # exactly the reference's multiclass_nms_idx semantics.
     #
-    # Why batched: the one-pick-per-iteration loop was LATENCY-bound on
+    # Why batched: a one-pick-per-iteration loop is LATENCY-bound on
     # TPU — ~15 small ops x ~5us fixed op cost x 100 serial iterations
     # ~= 13-20 ms of the hi-acc decode (ARTIFACTS/profile_hiacc_infer_r3).
+    # Each wave advances every live class by 1..`wave` picks, so the
+    # serial iteration count drops ~wave-fold for the same total IoU work.
     # Early stop (exactness preserved): every future pick scores <= the
     # current max of the live matrix, so once max_per_img accepted picks
     # score STRICTLY above it, the global top-max_per_img is final (ties
-    # conservatively keep iterating). Typical COCO images finalize in
-    # ~10-30 iterations instead of max_per_img.
-    idx_n = jnp.arange(n, dtype=jnp.int32)
+    # conservatively keep iterating).
+    wave = max(1, min(8, max_per_img, n))
+    width = max_per_img + wave  # per-class accept buffer; overflow is real
+    # picks a class can never contribute to the global top-max_per_img
+    c_rows = jnp.arange(c, dtype=jnp.int32)[:, None]      # (C, 1)
 
     def body(state):
-        liveT, acc_s, acc_r, it = state               # liveT: (C, N)
-        j = jnp.argmax(liveT, axis=1).astype(jnp.int32)      # (C,)
-        s = jnp.take_along_axis(liveT, j[:, None], 1)[:, 0]  # (C,)
-        picked = s > NEG / 2
-        iou = bbox_overlaps(boxes[j], boxes)                 # (C, N)
-        # suppress same-class overlaps PLUS the pick itself: a degenerate
-        # box (x2 < x1 - 1 after decode, possible early in training since
-        # fcos_reg output is unbounded) has zero +1-convention self-IoU
-        # and would otherwise be re-picked forever
-        sup = (iou > iou_thr) | (idx_n[None, :] == j[:, None])
-        liveT = jnp.where(picked[:, None] & sup, NEG, liveT)
-        acc_s = acc_s.at[:, it].set(jnp.where(picked, s, NEG))
-        acc_r = acc_r.at[:, it].set(jnp.where(picked, j, 0))
-        return liveT, acc_s, acc_r, it + 1
+        liveT, acc_s, acc_r, cnt, it = state              # liveT: (C, N)
+        s_w, j_w = jax.lax.top_k(liveT, wave)             # (C, T) desc
+        j_w = j_w.astype(jnp.int32)
+        bw = boxes[j_w.reshape(-1)].reshape(c, wave, 4)
+        iou_w = bbox_overlaps(bw, bw)                     # (C, T, T)
+        # exact greedy within the window: t accepted iff live and not
+        # conflicting with an accepted u < t
+        acc_mask = jnp.zeros((c, wave), bool).at[:, 0].set(s_w[:, 0] > NEG / 2)
+        for t in range(1, wave):
+            conflict = (acc_mask[:, :t] & (iou_w[:, :t, t] > iou_thr)).any(1)
+            acc_mask = acc_mask.at[:, t].set((s_w[:, t] > NEG / 2) & ~conflict)
+        # suppress same-class overlaps of every accepted pick
+        iou_full = bbox_overlaps(bw, boxes)               # (C, T, N)
+        sup = ((iou_full > iou_thr) & acc_mask[:, :, None]).any(1)
+        liveT = jnp.where(sup, NEG, liveT)
+        # ... PLUS the picks themselves: a degenerate box (x2 < x1 - 1
+        # after decode, possible early in training since fcos_reg output
+        # is unbounded) has zero +1-convention self-IoU and would
+        # otherwise be re-picked forever
+        pick_cols = jnp.where(acc_mask, j_w, n)           # n -> dropped
+        liveT = liveT.at[c_rows, pick_cols].min(NEG, mode="drop")
+        # append accepted picks per class at positions cnt + in-wave rank
+        rank = jnp.cumsum(acc_mask, axis=1, dtype=jnp.int32) - 1
+        cols = jnp.where(acc_mask, cnt[:, None] + rank, width)
+        acc_s = acc_s.at[c_rows, cols].set(s_w, mode="drop")
+        acc_r = acc_r.at[c_rows, cols].set(j_w, mode="drop")
+        cnt = cnt + acc_mask.sum(1, dtype=jnp.int32)
+        return liveT, acc_s, acc_r, cnt, it + 1
 
     def cond(state):
-        liveT, acc_s, _, it = state
+        liveT, acc_s, _, _, it = state
         rem = liveT.max()
         finalized = ((acc_s > jnp.maximum(rem, NEG / 2)).sum()
                      >= max_per_img)
         return (it < max_per_img) & (rem > NEG / 2) & ~finalized
 
-    acc_s0 = jnp.full((c, max_per_img), NEG, eff.dtype)
-    acc_r0 = jnp.zeros((c, max_per_img), jnp.int32)
-    _, acc_s, acc_r, _ = jax.lax.while_loop(
-        cond, body, (eff.T, acc_s0, acc_r0, jnp.int32(0)))
+    acc_s0 = jnp.full((c, width), NEG, eff.dtype)
+    acc_r0 = jnp.zeros((c, width), jnp.int32)
+    _, acc_s, acc_r, _, _ = jax.lax.while_loop(
+        cond, body, (eff.T, acc_s0, acc_r0,
+                     jnp.zeros((c,), jnp.int32), jnp.int32(0)))
 
     ks, flat = jax.lax.top_k(acc_s.reshape(-1), max_per_img)
     kr = acc_r.reshape(-1)[flat]
-    kc = jnp.where(ks > NEG / 2, (flat // max_per_img).astype(jnp.int32), -1)
+    kc = jnp.where(ks > NEG / 2, (flat // width).astype(jnp.int32), -1)
     keep_valid = ks > NEG / 2
     return dict(
         boxes=boxes[kr] * keep_valid[:, None],
