@@ -203,6 +203,60 @@ class TestNMS:
         assert got - must <= opt                  # rest only from the tie band
         assert len(got) == min(50, len(pairs))
 
+    def test_multiclass_nms_suppression_chain_within_wave(self):
+        # A > B > C by score, all in one class and one top-8 window:
+        # B overlaps A (suppressed by the pick), C overlaps only B.
+        # Greedy must keep C — suppression comes from ACCEPTED picks
+        # only, not from higher-scored candidates that were themselves
+        # suppressed. This is the case the wave-batched window greedy
+        # must get right.
+        boxes = jnp.array([[0, 0, 10, 10],
+                           [3, 0, 13, 10],      # IoU(A,B) = .57 > .5
+                           [6, 0, 16, 10]],     # IoU(B,C) = .57, IoU(A,C) = .29
+                          jnp.float32)
+        scores = jnp.array([[0.9], [0.8], [0.7]], jnp.float32)
+        out = multiclass_nms_idx(boxes, scores, 0.05, 0.5, 5)
+        v = np.asarray(out["valid"])
+        assert list(np.asarray(out["idxs"])[v]) == [0, 2]
+
+    def test_multiclass_nms_fuzz_vs_oracle(self):
+        # randomized keep-set parity vs the per-class python oracle:
+        # clustered boxes (dense same-class suppression), a sprinkle of
+        # degenerate boxes, hard score ties, varying shapes/caps
+        rng = np.random.RandomState(42)
+        for trial in range(12):
+            n = int(rng.randint(5, 160))
+            c = int(rng.randint(1, 9))
+            max_img = int(rng.randint(1, 40))
+            centers = rng.uniform(0, 300, (max(1, n // 12), 2))
+            ctr = centers[rng.randint(0, len(centers), n)] + \
+                rng.randn(n, 2) * 6
+            wh = rng.uniform(8, 50, (n, 2))
+            boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2],
+                                   1).astype(np.float32)
+            deg = rng.rand(n) < 0.1      # degenerate: x2 < x1 - 1
+            boxes[deg, 2] = boxes[deg, 0] - 3.0
+            scores = (np.round(rng.rand(n, c) * 16) / 16).astype(np.float32)
+            out = multiclass_nms_idx(jnp.asarray(boxes),
+                                     jnp.asarray(scores),
+                                     0.05, 0.5, max_img)
+            v = np.asarray(out["valid"])
+            got = set(zip(np.asarray(out["idxs"])[v].tolist(),
+                          np.asarray(out["labels"])[v].tolist()))
+            pairs = []
+            for cc in range(c):
+                s = scores[:, cc].copy()
+                s[s <= 0.05] = -1
+                keep = _greedy_nms_oracle(boxes, s, 0.5)
+                pairs += [(i, cc, s[i]) for i in keep if s[i] > 0.05]
+            pairs.sort(key=lambda t: -t[2])
+            kth = (pairs[max_img - 1][2] if len(pairs) >= max_img else -1)
+            must = {(i, cc) for i, cc, s in pairs[:max_img] if s > kth}
+            opt = {(i, cc) for i, cc, s in pairs if s == kth}
+            assert must <= got, f"trial {trial}: missing {must - got}"
+            assert got - must <= opt, f"trial {trial}: extras {got - must - opt}"
+            assert len(got) == min(max_img, len(pairs)), f"trial {trial}"
+
     def test_multiclass_nms_score_factor_ordering(self):
         boxes = jnp.array([[0, 0, 10, 10], [100, 100, 110, 110]], jnp.float32)
         scores = jnp.array([[0.9], [0.8]], jnp.float32)
