@@ -21,7 +21,7 @@ import numpy as np
 
 # forward GFLOPs/img from tools/get_flops.py (recorded in ARTIFACTS/PERF_*):
 # RT = r50_ssd @544x544, HI = r50_gn @800x1344. Train steps cost ~3x fwd.
-FWD_GFLOPS = {"rt": 112.82, "hiacc": 479.37}
+FWD_GFLOPS = {"rt": 112.82, "rt576": 126.51, "hiacc": 479.37}
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e
 
 
@@ -95,7 +95,9 @@ def main():
     extra = {}
     if not os.environ.get("SIPMASK_BENCH_FAST"):
         for name, cfg, mode, b, h, w, key, fmul in (
-                ("rt_train_544_bs8", rt, "train", 8, 544, 544, "rt", 3.0),
+                # the 6x recipe TRAINS at a 576x576 stretch and tests at 544
+                # (sipmask_r50_caffe_fpn_ssd_6x.py:83); bench the real shape
+                ("rt_train_576_bs8", rt, "train", 8, 576, 576, "rt576", 3.0),
                 ("hiacc_infer_800x1344_bs4", hi, "infer", 4, 800, 1344,
                  "hiacc", 1.0),
                 ("hiacc_train_800x1344_bs4", hi, "train", 4, 800, 1344,

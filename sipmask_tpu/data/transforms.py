@@ -38,41 +38,50 @@ def resize_image(img, out_h, out_w, interp=cv2.INTER_LINEAR):
 def photometric_distortion(img, rng, brightness_delta=32,
                            contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5), hue_delta=18):
-    """SSD photometric aug (transforms.py PhotoMetricDistortion). img: BGR f32."""
+    """SSD photometric aug — exact reference semantics AND rng draw order
+    (PhotoMetricDistortion, transforms.py:460-537). img: BGR f32 0..255.
+
+    The reference works in float throughout: cv2's float BGR<->HSV (H in
+    degrees [0,360), S in [0,1], V in the input scale), hue delta a float
+    in degrees, saturation unclipped, and it ALWAYS roundtrips through
+    HSV (each of saturation/hue is an independent p=0.5 gate). Bit-for-bit
+    parity with the reference class under a shared MT19937 seed is tested
+    in tests/test_reference_parity.py."""
     img = img.copy()
     if rng.randint(2):
         img += rng.uniform(-brightness_delta, brightness_delta)
     mode = rng.randint(2)
-    if mode == 1 and rng.randint(2):
-        img *= rng.uniform(*contrast_range)
-    # saturation / hue in HSV
-    if rng.randint(2) or rng.randint(2):
-        hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                           cv2.COLOR_BGR2HSV).astype(np.float32)
+    if mode == 1:
         if rng.randint(2):
-            hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation_range),
-                                  0, 255)
+            img *= rng.uniform(*contrast_range)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    if rng.randint(2):
+        img[..., 1] *= rng.uniform(*saturation_range)
+    if rng.randint(2):
+        img[..., 0] += rng.uniform(-hue_delta, hue_delta)
+        img[..., 0][img[..., 0] > 360] -= 360
+        img[..., 0][img[..., 0] < 0] += 360
+    img = cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+    if mode == 0:
         if rng.randint(2):
-            hsv[..., 0] = (hsv[..., 0].astype(int) +
-                           rng.randint(-hue_delta, hue_delta)) % 180
-        img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR
-                           ).astype(np.float32)
-    if mode == 0 and rng.randint(2):
-        img *= rng.uniform(*contrast_range)
+            img *= rng.uniform(*contrast_range)
     if rng.randint(2):
         img = img[..., rng.permutation(3)]
     return img
 
 
-def expand(img, boxes, masks, rng, mean, ratio_range=(1, 4)):
-    """SSD Expand: paste into a larger mean-filled canvas (transforms.py)."""
-    if rng.randint(2):
+def expand(img, boxes, masks, rng, mean, ratio_range=(1, 4), prob=0.5):
+    """SSD Expand: paste into a larger mean-filled canvas — exact reference
+    semantics and rng draw order (Expand, transforms.py:551-600: gate by
+    uniform(0,1) > prob, then ratio, then LEFT before TOP via
+    int(uniform(0, size*ratio - size)))."""
+    if rng.uniform(0, 1) > prob:
         return img, boxes, masks
     h, w, c = img.shape
     ratio = rng.uniform(*ratio_range)
     eh, ew = int(h * ratio), int(w * ratio)
-    top = rng.randint(0, eh - h + 1)
-    left = rng.randint(0, ew - w + 1)
+    left = int(rng.uniform(0, w * ratio - w))
+    top = int(rng.uniform(0, h * ratio - h))
     # single-pass C fill+paste; bit-identical to a mean-filled np canvas
     # and ~6x faster at 4x ratios (26 MB canvas)
     canvas = cv2.copyMakeBorder(img, top, eh - h - top, left, ew - w - left,
@@ -89,46 +98,63 @@ def expand(img, boxes, masks, rng, mean, ratio_range=(1, 4)):
 def min_iou_random_crop(img, boxes, labels, masks, rng,
                         min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
                         min_crop_size=0.3, max_tries=50):
-    """SSD MinIoURandomCrop (transforms.py): crop keeping boxes whose centers
-    fall inside; retry per sampled min-IoU."""
+    """SSD MinIoURandomCrop — exact reference semantics and rng draw order
+    (MinIoURandomCrop, transforms.py:632-720): mode via rng.choice over
+    (1, *min_ious, 0); patch offsets via the reference's ONE-ARG uniform
+    (numpy treats the argument as `low` with high=1.0 — a quirk the
+    reference relies on, so offsets land in (1, slack] instead of
+    [0, slack)); +1-convention IoU against the INT patch; strict
+    center-in-patch keep; clip to the patch edge with NO -1; and empty-gt
+    images still get cropped (only the box/mask adjustment is skipped).
+    Bit-for-bit parity with the reference class under a shared MT19937
+    seed is tested in tests/test_reference_parity.py."""
     h, w = img.shape[:2]
+    sample_mode = (1, *min_ious, 0)
     while True:
-        # sample_mode includes the unconstrained-crop mode 0 (reference
-        # MinIoURandomCrop sample_mode=(1, *min_ious, 0); ADVICE.md round 1)
-        mode = (1, *min_ious, 0)[rng.randint(len(min_ious) + 2)]
+        mode = rng.choice(sample_mode)
         if mode == 1:
             return img, boxes, labels, masks
+        min_iou = mode
         for _ in range(max_tries):
             new_w = rng.uniform(min_crop_size * w, w)
             new_h = rng.uniform(min_crop_size * h, h)
             if new_h / new_w < 0.5 or new_h / new_w > 2:
                 continue
-            left = rng.uniform(0, w - new_w)
-            top = rng.uniform(0, h - new_h)
-            patch = np.array([left, top, left + new_w, top + new_h])
-            # IoU-with-patch ("iof"-style overlap as in the reference)
-            lt = np.maximum(boxes[:, :2], patch[:2])
-            rb = np.minimum(boxes[:, 2:], patch[2:])
-            wh = np.clip(rb - lt, 0, None)
-            inter = wh[:, 0] * wh[:, 1]
-            area_b = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
-            area_p = new_w * new_h
-            ious = inter / np.maximum(area_b + area_p - inter, 1e-9)
-            if len(ious) and ious.min() < mode:
-                continue
-            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
-            keep = ((centers[:, 0] > patch[0]) & (centers[:, 1] > patch[1]) &
-                    (centers[:, 0] < patch[2]) & (centers[:, 1] < patch[3]))
-            if not keep.any():
-                continue
-            x1, y1, x2, y2 = patch.astype(int)
-            img = img[y1:y2, x1:x2]
-            boxes = boxes[keep].copy()
-            boxes[:, 0::2] = np.clip(boxes[:, 0::2] - x1, 0, x2 - x1 - 1)
-            boxes[:, 1::2] = np.clip(boxes[:, 1::2] - y1, 0, y2 - y1 - 1)
-            labels = labels[keep]
-            if masks is not None and len(masks):
-                masks = masks[keep][:, y1:y2, x1:x2]
+            left = rng.uniform(w - new_w)   # reference quirk: low=slack
+            top = rng.uniform(h - new_h)
+            patch = np.array((int(left), int(top),
+                              int(left + new_w), int(top + new_h)))
+            if len(boxes):
+                pf = patch.astype(np.float32)
+                bf = boxes.astype(np.float32)
+                lt = np.maximum(bf[:, :2], pf[:2])
+                rb = np.minimum(bf[:, 2:], pf[2:])
+                wh = np.clip(rb - lt + 1, 0, None)          # +1 convention
+                inter = wh[:, 0] * wh[:, 1]
+                area_b = ((bf[:, 2] - bf[:, 0] + 1) *
+                          (bf[:, 3] - bf[:, 1] + 1))
+                area_p = (pf[2] - pf[0] + 1) * (pf[3] - pf[1] + 1)
+                ious = inter / (area_b + area_p - inter)
+                if ious.min() < min_iou:
+                    continue
+                centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                keep = ((centers[:, 0] > patch[0]) &
+                        (centers[:, 1] > patch[1]) &
+                        (centers[:, 0] < patch[2]) &
+                        (centers[:, 1] < patch[3]))
+                if not keep.any():
+                    continue
+                boxes = boxes[keep].copy()
+                boxes[:, 2:] = np.minimum(boxes[:, 2:],
+                                          patch[2:].astype(boxes.dtype))
+                boxes[:, :2] = np.maximum(boxes[:, :2],
+                                          patch[:2].astype(boxes.dtype))
+                boxes -= np.tile(patch[:2], 2).astype(boxes.dtype)
+                labels = labels[keep]
+                if masks is not None and len(masks):
+                    masks = masks[keep][:, patch[1]:patch[3],
+                                        patch[0]:patch[2]]
+            img = img[patch[1]:patch[3], patch[0]:patch[2]]
             return img, boxes, labels, masks
 
 
@@ -156,7 +182,7 @@ class TrainTransform:
     def bucket_shape(self, landscape: bool) -> Tuple[int, int]:
         c = self.cfg
         if c.fixed_size is not None:
-            return c.fixed_size
+            return c.img_scale  # train stretch size (576 RT; test pads 544)
         scales = c.ms_scales or (c.img_scale,)
         long_s = max(max(sc) for sc in scales)
         short_s = max(min(sc) for sc in scales)
@@ -183,7 +209,10 @@ class TrainTransform:
 
         h, w = img.shape[:2]
         if cfg.fixed_size is not None:
-            out_h, out_w = cfg.fixed_size
+            # the real-time recipes TRAIN at img_scale (576x576 stretch,
+            # sipmask_r50_caffe_fpn_ssd_6x.py:83 Resize keep_ratio=False)
+            # and TEST at fixed_size (544x544); fixed_size is the test size
+            out_h, out_w = cfg.img_scale
             landscape = True
         else:
             scale = cfg.img_scale
@@ -194,6 +223,9 @@ class TrainTransform:
         sx, sy = out_w / w, out_h / h
         img = resize_image(img, out_h, out_w)
         boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        # Resize clips boxes into the resized image (transforms.py:134-140)
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, out_w - 1)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, out_h - 1)
 
         if rng.rand() < cfg.flip_ratio:
             img = img[:, ::-1]
@@ -225,9 +257,11 @@ class TrainTransform:
         for i in range(n):
             if masks is None or not len(masks):
                 break
-            # resize to the network input, zero-pad to the bucket, then 0.5x
-            # bilinear + >0.5 — the reference's in-loss sequence exactly
-            m = resize_image(masks[i].astype(np.float32), out_h, out_w)
+            # NEAREST-resize to the network input (the reference pipeline
+            # resizes masks nearest, transforms.py:148-156), zero-pad to the
+            # bucket, then 0.5x bilinear + >0.5 — the in-loss sequence
+            m = resize_image(masks[i].astype(np.float32), out_h, out_w,
+                             interp=cv2.INTER_NEAREST)
             mp = np.zeros((pad_h, pad_w), np.float32)
             mp[:out_h, :out_w] = m[:pad_h, :pad_w]
             m2 = cv2.resize(mp, (mw, mh), interpolation=cv2.INTER_LINEAR)
@@ -256,6 +290,8 @@ class TestTransform:
         self.std = np.asarray(cfg.std, np.float32)
 
     def bucket_shape(self, landscape: bool) -> Tuple[int, int]:
+        if self.cfg.fixed_size is not None:
+            return self.cfg.fixed_size  # RT tests at 544 (train stretches 576)
         return TrainTransform.bucket_shape(self, landscape)  # same logic
 
     def __call__(self, img, image_id=-1) -> Sample:
@@ -350,7 +386,8 @@ class VISPairTransform:
         for i in range(n):
             if not len(masks):
                 break
-            m = resize_image(masks[i].astype(np.float32), out_h, out_w)
+            m = resize_image(masks[i].astype(np.float32), out_h, out_w,
+                             interp=cv2.INTER_NEAREST)  # ref: nearest
             mp = np.zeros((pad_h, pad_w), np.float32)
             mp[:out_h, :out_w] = m[:pad_h, :pad_w]
             gm[i] = cv2.resize(mp, (mw, mh),

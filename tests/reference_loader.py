@@ -662,3 +662,41 @@ def load_reference():
     _cache.update(dict(head_mod=head_mod, core=sys.modules["mmdet.core"],
                        make_head=make_head))
     return _cache
+
+
+def load_reference_transforms():
+    """The reference's OWN SSD augmentation classes — PhotoMetricDistortion /
+    Expand / MinIoURandomCrop (mmdet/datasets/pipelines/transforms.py:
+    460-720) — with only plumbing stubbed: mmcv's bgr2hsv/hsv2bgr are
+    cv2.cvtColor one-liners (exactly mmcv's convert_color_factory), the
+    PIPELINES registry is a no-op decorator, and bbox_overlaps is the
+    reference's real mmdet/core/evaluation/bbox_overlaps.py."""
+    if "aug_transforms" in _cache:
+        return _cache["aug_transforms"]
+    if not reference_available():
+        raise RuntimeError("reference repo not present")
+    import cv2
+
+    if "mmcv" not in sys.modules:
+        _stub_module("mmcv", is_pkg=True)
+    mmcv = sys.modules["mmcv"]
+    mmcv.bgr2hsv = lambda img: cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
+    mmcv.hsv2bgr = lambda img: cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
+
+    for name in ("mmdet", "mmdet.core", "mmdet.core.evaluation",
+                 "mmdet.datasets", "mmdet.datasets.pipelines"):
+        if name not in sys.modules:
+            _stub_module(name, is_pkg=True)
+    if "mmdet.core.evaluation.bbox_overlaps" not in sys.modules:
+        _load_file("mmdet.core.evaluation.bbox_overlaps",
+                   f"{REF_MMDET}/mmdet/core/evaluation/bbox_overlaps.py")
+
+    class _Registry:
+        def register_module(self, cls):
+            return cls
+
+    _stub_module("mmdet.datasets.registry", PIPELINES=_Registry())
+    mod = _load_file("mmdet.datasets.pipelines.transforms",
+                     f"{REF_MMDET}/mmdet/datasets/pipelines/transforms.py")
+    _cache["aug_transforms"] = mod
+    return mod

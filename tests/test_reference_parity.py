@@ -541,3 +541,92 @@ class TestRescoringLossParity:
         # structural error (selection, normalizer, weighting, wrong input).
         np.testing.assert_allclose(got["loss_iou"], want["loss_iou"],
                                    rtol=5e-3, err_msg="loss_iou")
+
+
+class TestSSDAugParity:
+    """Bit-for-bit parity with the reference's OWN PhotoMetricDistortion /
+    Expand / MinIoURandomCrop (transforms.py:460-720) under a shared
+    MT19937 seed: our functions draw from the rng in the reference's exact
+    order, so seeding np.random for the reference and RandomState(seed)
+    for ours must produce identical images/boxes/labels/masks."""
+
+    @staticmethod
+    def _inputs(seed):
+        r = np.random.RandomState(seed + 1000)
+        h, w = int(r.randint(80, 160)), int(r.randint(80, 160))
+        img = (r.rand(h, w, 3) * 255).astype(np.float32)
+        n = int(r.randint(1, 6))
+        x1 = r.uniform(0, w - 25, n)
+        y1 = r.uniform(0, h - 25, n)
+        x2 = np.minimum(x1 + r.uniform(5, w / 2, n), w - 1)
+        y2 = np.minimum(y1 + r.uniform(5, h / 2, n), h - 1)
+        boxes = np.stack([x1, y1, x2, y2], 1).astype(np.float32)
+        labels = r.randint(1, 10, n).astype(np.int64)
+        masks = (r.rand(n, h, w) > 0.6).astype(np.uint8)
+        return img, boxes, labels, masks
+
+    def test_photometric_distortion_parity(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.data.transforms import photometric_distortion
+        T = load_reference_transforms()
+        for seed in range(10):
+            img, *_ = self._inputs(seed)
+            np.random.seed(seed)
+            ref = T.PhotoMetricDistortion()(dict(img=img.copy()))["img"]
+            got = photometric_distortion(img.copy(),
+                                         np.random.RandomState(seed))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_expand_parity(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.data.transforms import expand
+        T = load_reference_transforms()
+        mean = (102.9801, 115.9465, 122.7717)  # BGR, to_rgb=False (ssd_6x)
+        for seed in range(10):
+            img, boxes, _, masks = self._inputs(seed)
+            np.random.seed(seed)
+            res = T.Expand(mean=mean, to_rgb=False)(
+                dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                     gt_masks=masks.copy(), img_shape=img.shape))
+            gi, gb, gm = expand(img.copy(), boxes.copy(), masks.copy(),
+                                np.random.RandomState(seed),
+                                np.asarray(mean, np.float32))
+            np.testing.assert_array_equal(gi, res["img"])
+            np.testing.assert_array_equal(gb, res["gt_bboxes"])
+            np.testing.assert_array_equal(gm, res["gt_masks"])
+
+    def test_min_iou_random_crop_parity(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.data.transforms import min_iou_random_crop
+        T = load_reference_transforms()
+        for seed in range(14):
+            img, boxes, labels, masks = self._inputs(seed)
+            np.random.seed(seed)
+            res = T.MinIoURandomCrop()(
+                dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                     gt_labels=labels.copy(), gt_masks=masks.copy()))
+            gi, gb, gl, gm = min_iou_random_crop(
+                img.copy(), boxes.copy(), labels.copy(), masks.copy(),
+                np.random.RandomState(seed))
+            np.testing.assert_array_equal(gi, res["img"])
+            np.testing.assert_array_equal(gb, res["gt_bboxes"])
+            np.testing.assert_array_equal(gl, res["gt_labels"])
+            np.testing.assert_array_equal(gm, res["gt_masks"])
+
+    def test_min_iou_random_crop_empty_gt_still_crops(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.data.transforms import min_iou_random_crop
+        T = load_reference_transforms()
+        for seed in (3, 5, 9):
+            img, *_ = self._inputs(seed)
+            empty_b = np.zeros((0, 4), np.float32)
+            empty_l = np.zeros((0,), np.int64)
+            np.random.seed(seed)
+            res = T.MinIoURandomCrop()(
+                dict(img=img.copy(), gt_bboxes=empty_b.copy(),
+                     gt_labels=empty_l.copy()))
+            gi, gb, gl, gm = min_iou_random_crop(
+                img.copy(), empty_b.copy(), empty_l.copy(), None,
+                np.random.RandomState(seed))
+            np.testing.assert_array_equal(gi, res["img"])
+            assert len(gb) == 0 and len(gl) == 0
