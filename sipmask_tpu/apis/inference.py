@@ -28,14 +28,18 @@ class Detector:
     def _infer_fn(self, shape):
         if shape not in self._jitted:
             model, cfg = self.model, self.cfg
-            rescore_fn = None
-            if cfg.model.head.rescoring:
-                rescore_fn = lambda m: model.apply(self.variables, m,
-                                                   method=model.rescore)
 
             @jax.jit
             def infer(variables, images, img_shapes, scale_factors):
                 out = model.apply(variables, images)
+                # close over the TRACED variables, not self.variables: a
+                # closure on self would bake the rescoring tower weights in
+                # as compile-time constants at first trace, so a later
+                # load_weights would silently keep the old tower
+                rescore_fn = None
+                if cfg.model.head.rescoring:
+                    rescore_fn = lambda m: model.apply(variables, m,
+                                                       method=model.rescore)
                 return decode_batch(out, img_shapes, scale_factors, cfg.model,
                                     rescore_fn=rescore_fn)
             self._jitted[shape] = infer
@@ -99,9 +103,12 @@ def _postprocess(det: Detector, out, s):
         hh, ww = min(oh, mm.shape[0]), min(ow, mm.shape[1])
         full[:hh, :ww] = mm[:hh, :ww] > det.cfg.model.test.mask_thr
         masks.append(full)
-    return dict(boxes=out["boxes"][valid], scores=out["scores"][valid],
-                labels=out["labels"][valid],
-                masks=np.stack(masks) if masks else np.zeros((0, oh, ow), bool))
+    res = dict(boxes=out["boxes"][valid], scores=out["scores"][valid],
+               labels=out["labels"][valid],
+               masks=np.stack(masks) if masks else np.zeros((0, oh, ow), bool))
+    if "mask_scores" in out:  # SipMask++ rescoring (segm ranking scores)
+        res["mask_scores"] = out["mask_scores"][valid]
+    return res
 
 
 def inference_detector(det: Detector, img: np.ndarray):

@@ -24,20 +24,22 @@ def run_inference(model, variables, cfg: SipMaskConfig, dataset,
     transform = TestTransform(cfg.data)
     loader = build_test_loader(dataset, transform, batch_size=batch_size)
 
-    rescore_fn = None
-    if cfg.model.head.rescoring:
-        rescore_fn = lambda m: model.apply(variables, m, method=model.rescore)
-
     @jax.jit
-    def infer(images, img_shapes, scale_factors):
+    def infer(variables, images, img_shapes, scale_factors):
+        # variables ride the jit arguments (not the closure) so the weights
+        # stay device buffers instead of baked compile-time constants
         out = model.apply(variables, images)
+        rescore_fn = None
+        if cfg.model.head.rescoring:
+            rescore_fn = lambda m: model.apply(variables, m,
+                                               method=model.rescore)
         return decode_batch(out, img_shapes, scale_factors, cfg.model,
                             rescore_fn=rescore_fn)
 
     results = []
     n_done = 0
     for batch, n_valid in loader:
-        dets = infer(jnp.asarray(batch["images"]),
+        dets = infer(variables, jnp.asarray(batch["images"]),
                      jnp.asarray(batch["img_shapes"]),
                      jnp.asarray(batch["scale_factors"]))
         dets = {k: np.asarray(v) for k, v in dets.items()}

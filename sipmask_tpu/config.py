@@ -142,6 +142,11 @@ class DataConfig:
     ms_scales: Optional[Tuple[Tuple[int, int], ...]] = None
     keep_ratio: bool = True
     fixed_size: Optional[Tuple[int, int]] = None  # (H, W); real-time: (544, 544)
+    # train-time stretch size when it differs from fixed_size: the 6x RT
+    # recipe TRAINS at a 576x576 stretch and tests at 544 (ssd_6x.py:83).
+    # None -> train at fixed_size (so a plain fixed_size override still
+    # controls both train and test).
+    train_size: Optional[Tuple[int, int]] = None
     flip_ratio: float = 0.5
     # caffe BGR means, std 1 (config :60-61)
     mean: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
@@ -248,7 +253,7 @@ def _realtime_base(name: str) -> SipMaskConfig:
     cfg = SipMaskConfig(name=name)
     cfg = _r(cfg, "model.head", stacked_convs=2, norm=None, ssd_flag=True)
     cfg = _r(cfg, "model.test", score_thr=0.1, use_fast_nms=True, nms_pre=1000)
-    cfg = _r(cfg, "data", fixed_size=(544, 544), img_scale=(576, 576),
+    cfg = _r(cfg, "data", fixed_size=(544, 544), train_size=(576, 576),
              ssd_augs=True, repeat_times=3)
     cfg = _r(cfg, "train", imgs_per_device=8, max_pos=256)
     cfg = _r(cfg, "train.optim", lr_steps=(20, 23), total_epochs=24,

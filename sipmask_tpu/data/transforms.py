@@ -24,10 +24,18 @@ import cv2
 from ..config import DataConfig
 
 
+def imrescale_factor(h: int, w: int, scale: Tuple[int, int]) -> float:
+    """mmcv.imrescale's SCALAR factor: scale=(long, short). The reference
+    scales bboxes (and later rescales decoded boxes) by this one float, not
+    by per-axis out/in ratios (transforms.py:122-141; imrescale returns a
+    single scale_factor in keep_ratio mode)."""
+    long_side, short_side = max(scale), min(scale)
+    return min(long_side / max(h, w), short_side / min(h, w))
+
+
 def imrescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int]:
     """mmdet keep-ratio target size: scale=(long, short)."""
-    long_side, short_side = max(scale), min(scale)
-    f = min(long_side / max(h, w), short_side / min(h, w))
+    f = imrescale_factor(h, w, scale)
     return int(h * f + 0.5), int(w * f + 0.5)
 
 
@@ -182,7 +190,8 @@ class TrainTransform:
     def bucket_shape(self, landscape: bool) -> Tuple[int, int]:
         c = self.cfg
         if c.fixed_size is not None:
-            return c.img_scale  # train stretch size (576 RT; test pads 544)
+            # train stretch size (576 RT) when set; test pads fixed_size (544)
+            return c.train_size or c.fixed_size
         scales = c.ms_scales or (c.img_scale,)
         long_s = max(max(sc) for sc in scales)
         short_s = max(min(sc) for sc in scales)
@@ -209,10 +218,10 @@ class TrainTransform:
 
         h, w = img.shape[:2]
         if cfg.fixed_size is not None:
-            # the real-time recipes TRAIN at img_scale (576x576 stretch,
+            # the real-time recipes TRAIN at train_size (576x576 stretch,
             # sipmask_r50_caffe_fpn_ssd_6x.py:83 Resize keep_ratio=False)
-            # and TEST at fixed_size (544x544); fixed_size is the test size
-            out_h, out_w = cfg.img_scale
+            # and TEST at fixed_size (544x544)
+            out_h, out_w = cfg.train_size or cfg.fixed_size
             landscape = True
         else:
             scale = cfg.img_scale
@@ -220,7 +229,10 @@ class TrainTransform:
                 scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
             out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
-        sx, sy = out_w / w, out_h / h
+        if cfg.fixed_size is not None:
+            sx, sy = out_w / w, out_h / h     # imresize per-axis factors
+        else:
+            sx = sy = imrescale_factor(h, w, scale)  # imrescale scalar
         img = resize_image(img, out_h, out_w)
         boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
         # Resize clips boxes into the resized image (transforms.py:134-140)
@@ -233,8 +245,6 @@ class TrainTransform:
             flipped[:, 0] = out_w - boxes[:, 2] - 1
             flipped[:, 2] = out_w - boxes[:, 0] - 1
             boxes = flipped
-            masks = masks[:, :, ::-1] if masks is not None and len(masks) \
-                else masks
             flip = True
         else:
             flip = False
@@ -257,11 +267,14 @@ class TrainTransform:
         for i in range(n):
             if masks is None or not len(masks):
                 break
-            # NEAREST-resize to the network input (the reference pipeline
-            # resizes masks nearest, transforms.py:148-156), zero-pad to the
-            # bucket, then 0.5x bilinear + >0.5 — the in-loss sequence
+            # NEAREST-resize to the network input, THEN flip — the
+            # reference's order (Resize before RandomFlip; nearest's
+            # asymmetric grid makes flip-then-resize differ) — zero-pad to
+            # the bucket, then 0.5x bilinear + >0.5 — the in-loss sequence
             m = resize_image(masks[i].astype(np.float32), out_h, out_w,
                              interp=cv2.INTER_NEAREST)
+            if flip:
+                m = m[:, ::-1]
             mp = np.zeros((pad_h, pad_w), np.float32)
             mp[:out_h, :out_w] = m[:pad_h, :pad_w]
             m2 = cv2.resize(mp, (mw, mh), interpolation=cv2.INTER_LINEAR)
@@ -306,7 +319,10 @@ class TestTransform:
             # test-time always uses the canonical img_scale (no ms sampling)
             out_h, out_w = imrescale_size(h, w, cfg.img_scale)
             landscape = out_w >= out_h
-        sx, sy = out_w / w, out_h / h
+        if cfg.fixed_size is not None:
+            sx, sy = out_w / w, out_h / h     # imresize per-axis factors
+        else:
+            sx = sy = imrescale_factor(h, w, cfg.img_scale)
         img = resize_image(img, out_h, out_w)
         img = (img - self.mean) / self.std
         pad_h, pad_w = self.bucket_shape(landscape)
@@ -348,7 +364,9 @@ class VISPairTransform:
         h, w = img.shape[:2]
 
         if cfg.fixed_size is not None:
-            out_h, out_w = cfg.fixed_size
+            # same train-stretch rule as TrainTransform (and its
+            # bucket_shape, which this class delegates to)
+            out_h, out_w = cfg.train_size or cfg.fixed_size
             landscape = True
         else:
             scale = cfg.img_scale
@@ -356,20 +374,23 @@ class VISPairTransform:
                 scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
             out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
-        sx, sy = out_w / w, out_h / h
+        if cfg.fixed_size is not None:
+            sx, sy = out_w / w, out_h / h     # imresize per-axis factors
+        else:
+            sx = sy = imrescale_factor(h, w, scale)  # imrescale scalar
         scale = np.array([sx, sy, sx, sy], np.float32)
         img = resize_image(img, out_h, out_w)
         ref = resize_image(ref, out_h, out_w)
         boxes = boxes * scale
         rboxes = rboxes * scale
 
-        if rng.rand() < cfg.flip_ratio:
+        flip = rng.rand() < cfg.flip_ratio
+        if flip:
             img, ref = img[:, ::-1], ref[:, ::-1]
             for bb in (boxes, rboxes):
                 x1 = bb[:, 0].copy()
                 bb[:, 0] = out_w - bb[:, 2] - 1
                 bb[:, 2] = out_w - x1 - 1
-            masks = masks[:, :, ::-1] if len(masks) else masks
 
         img = (img - self.mean) / self.std
         ref = (ref - self.mean) / self.std
@@ -386,8 +407,12 @@ class VISPairTransform:
         for i in range(n):
             if not len(masks):
                 break
+            # resize nearest THEN flip — the reference's Resize-before-
+            # RandomFlip order (see TrainTransform)
             m = resize_image(masks[i].astype(np.float32), out_h, out_w,
-                             interp=cv2.INTER_NEAREST)  # ref: nearest
+                             interp=cv2.INTER_NEAREST)
+            if flip:
+                m = m[:, ::-1]
             mp = np.zeros((pad_h, pad_w), np.float32)
             mp[:out_h, :out_w] = m[:pad_h, :pad_w]
             gm[i] = cv2.resize(mp, (mw, mh),

@@ -21,11 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import conv_init, max_pool
-
-
-def _repeat2d(x, f: int):
-    return jnp.repeat(jnp.repeat(x, f, axis=1), f, axis=2)
+from .layers import conv_init, max_pool, repeat2d
 
 
 class NonLocal2D(nn.Module):
@@ -74,7 +70,7 @@ class BFP(nn.Module):
                 k = 2 ** (self.refine_level - i)
                 gathered.append(max_pool(f, k, k))
             elif i > self.refine_level:  # lower res -> nearest upsample
-                gathered.append(_repeat2d(f, 2 ** (i - self.refine_level)))
+                gathered.append(repeat2d(f, 2 ** (i - self.refine_level)))
             else:
                 gathered.append(f)
         bsf = sum(gathered) / n
@@ -88,7 +84,7 @@ class BFP(nn.Module):
         outs = []
         for i, f in enumerate(feats):
             if i < self.refine_level:
-                r = _repeat2d(bsf, 2 ** (self.refine_level - i))
+                r = repeat2d(bsf, 2 ** (self.refine_level - i))
             elif i > self.refine_level:
                 k = 2 ** (i - self.refine_level)
                 r = max_pool(bsf, k, k)

@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, conv_init, resize_bilinear
+from .layers import FrozenBatchNorm, conv_init, repeat2d, resize_bilinear
 from .resnet import Bottleneck
 
 HRNET_WIDTHS = {18: (18, 36, 72, 144), 32: (32, 64, 128, 256),
@@ -76,8 +76,7 @@ class FuseUnit(nn.Module):
                     # the exchange unit upsamples NEAREST (hrnet.py:136-137
                     # nn.Upsample(scale_factor=2**(j-i), mode='nearest'));
                     # integer-factor nearest == pixel repetition, exact
-                    f = 2 ** (j - i)
-                    y = jnp.repeat(jnp.repeat(y, f, axis=1), f, axis=2)
+                    y = repeat2d(y, 2 ** (j - i))
                 else:  # higher res -> chain of stride-2 convs
                     for s in range(i - j):
                         last = s == i - j - 1

@@ -13,6 +13,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def repeat2d(x, f: int):
+    """Integer-factor nearest-neighbor upsample (== pixel repetition) for
+    NHWC tensors; used by BFP gather and HRNet exchange units."""
+    return jnp.repeat(jnp.repeat(x, f, axis=1), f, axis=2)
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with affine params and running stats all frozen.
 

@@ -64,6 +64,7 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
     bbox_preds = bbox_preds.astype(jnp.float32)
     ctr_logits = ctr_logits.astype(jnp.float32)
     cof_preds = cof_preds.astype(jnp.float32)
+    model_dtype = outputs["feat_masks"].dtype  # pre-upcast compute dtype
     feat_masks = outputs["feat_masks"].astype(jnp.float32)
     b, p, nc = cls_logits.shape
 
@@ -185,13 +186,17 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
     # the fused Pallas kernel (ops/pallas/mask_loss.py) — assembly, quadrant
     # select, gt gather and reduction in VMEM, no (Hm, Wm, K) HBM tensors;
     # elsewhere the XLA colmix path (gt gather folded into the BCE's linear
-    # matmul term, mask_bce_loss_indexed). Same math either way.
+    # matmul term, mask_bce_loss_indexed). The kernel's matmuls run in the
+    # MODEL's compute dtype: under bf16 training the f32-upcast values here
+    # are still exactly bf16-representable, so the two paths agree up to
+    # summation order; under f32 training the kernel runs f32 too.
     from ..ops.pallas.mask_loss import (mask_bce_fused_available,
                                         mask_bce_loss_fused)
     if mask_bce_fused_available():
         pre = mask_bce_loss_fused(feat_masks, aux["cof_sel"],
                                   aux["box_sel"], batch["gt_masks"],
-                                  aux["gtidx_sel"])           # (B, K)
+                                  aux["gtidx_sel"],
+                                  mm_dtype=model_dtype)       # (B, K)
     else:
         pre = jax.vmap(mask_bce_loss_indexed)(
             feat_masks, aux["cof_sel"], aux["box_sel"],

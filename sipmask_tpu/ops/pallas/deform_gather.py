@@ -162,7 +162,10 @@ def _grid_coords(q0, q_blk, w):
     # q0 may be a traced scalar (dx kernel indexes tiles by program_id)
     j = (jax.lax.broadcasted_iota(jnp.int32, (1, q_blk), 1) +
          q0).astype(jnp.float32)
-    qy = jnp.floor(j * (1.0 / w))
+    # +0.5: exact floor-divide under f32 reciprocal multiply for every
+    # width (the bare product is off by one at exact multiples of some
+    # widths >= 328 — see mask_loss._pixel_coords)
+    qy = jnp.floor((j + 0.5) * (1.0 / w))
     qx = j - qy * w
     return qy, qx
 
@@ -597,7 +600,7 @@ def sample_dense(x_rows, pyx, h, w):
     banded kernel resolves with its one-sided rule)."""
     q = h * w
     j = jnp.arange(q, dtype=jnp.float32)
-    qy = jnp.floor(j * (1.0 / w))
+    qy = jnp.floor((j + 0.5) * (1.0 / w))  # exact for every w (see above)
     qx = j - qy * w
     py, px = pyx[..., 0], pyx[..., 1]                     # (N, K, P)
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(qy[None, None, None, :] - py[..., None]))

@@ -52,7 +52,11 @@ def _pixel_coords(pt, pb, w):
     """Flat pixel index -> (py, px, valid-row broadcastable) as f32 columns."""
     i = (jax.lax.broadcasted_iota(jnp.int32, (pb, 1), 0) + pt * pb)
     fi = i.astype(jnp.float32)
-    py = jnp.floor(fi * (1.0 / w))
+    # +0.5 keeps the f32 reciprocal-multiply away from integer boundaries:
+    # floor(fi/w) via rounded 1/w is off by one at exact multiples of w for
+    # 38 of the widths <= 2048 (e.g. 656, 752); floor((fi+0.5)/w) is exact
+    # while py * 2^-22 < 0.5/w, i.e. any mask wider than a few pixels.
+    py = jnp.floor((fi + 0.5) * (1.0 / w))
     px = fi - py * w
     return py, px, i
 
@@ -146,7 +150,7 @@ def _bwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref, g_ref,
     dbasis_ref[0] = dbasis.astype(dbasis_ref.dtype)
 
 
-def _prep(basis, cofs, boxes, gt_masks_g, gt_idx):
+def _prep(basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype):
     b, h, w, nb = basis.shape
     k = cofs.shape[1]
     g = gt_masks_g.shape[1]
@@ -155,14 +159,14 @@ def _prep(basis, cofs, boxes, gt_masks_g, gt_idx):
     hw = h * w
     hwp = -(-hw // P_TILE) * P_TILE
 
-    basis2 = _pad_axis(basis.reshape(b, hw, nb).astype(jnp.bfloat16),
+    basis2 = _pad_axis(basis.reshape(b, hw, nb).astype(mm_dtype),
                        P_TILE, 1)
     gtT = gt_masks_g.reshape(b, g, hw).transpose(0, 2, 1)
-    gtT = _pad_axis(_pad_axis(gtT.astype(jnp.bfloat16), 16, 2), P_TILE, 1)
-    onehotT = jax.nn.one_hot(gt_idx, gp, dtype=jnp.bfloat16,
+    gtT = _pad_axis(_pad_axis(gtT.astype(mm_dtype), 16, 2), P_TILE, 1)
+    onehotT = jax.nn.one_hot(gt_idx, gp, dtype=mm_dtype,
                              axis=1)                       # (B, Gp, K)
     onehotT = _pad_axis(onehotT, 128, 2)
-    cofT = _pad_axis(cofs.astype(jnp.bfloat16).transpose(0, 2, 1), 128, 2)
+    cofT = _pad_axis(cofs.astype(mm_dtype).transpose(0, 2, 1), 128, 2)
     boxesT = jnp.concatenate(
         [boxes.astype(jnp.float32).transpose(0, 2, 1),
          jnp.zeros((b, 4, k), jnp.float32)], 1)            # (B, 8, K)
@@ -236,26 +240,27 @@ def _fused_bwd_call(basis2, gtT, onehotT, cofT, boxesT, gpad, h, w,
     return dbasis, dcofT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _mask_bce_core(basis, cofs, boxes, gt_masks_g, gt_idx, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mask_bce_core(basis, cofs, boxes, gt_masks_g, gt_idx, interpret,
+                   mm_dtype):
     basis2, gtT, onehotT, cofT, boxesT, meta = _prep(
-        basis, cofs, boxes, gt_masks_g, gt_idx)
+        basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype)
     (b, hw, hwp, nb, k, kp, gp, h, w) = meta
     out = _fused_fwd_call(basis2, gtT, onehotT, cofT, boxesT, h, w,
                           interpret=interpret)
     return out[:, :k]
 
 
-def _core_fwd(basis, cofs, boxes, gt_masks_g, gt_idx, interpret):
+def _core_fwd(basis, cofs, boxes, gt_masks_g, gt_idx, interpret, mm_dtype):
     return (_mask_bce_core(basis, cofs, boxes, gt_masks_g, gt_idx,
-                           interpret),
+                           interpret, mm_dtype),
             (basis, cofs, boxes, gt_masks_g, gt_idx))
 
 
-def _core_bwd(interpret, res, g):
+def _core_bwd(interpret, mm_dtype, res, g):
     basis, cofs, boxes, gt_masks_g, gt_idx = res
     basis2, gtT, onehotT, cofT, boxesT, meta = _prep(
-        basis, cofs, boxes, gt_masks_g, gt_idx)
+        basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype)
     (b, hw, hwp, nb, k, kp, gp, h, w) = meta
     gpad = _pad_axis(g.astype(jnp.float32), 128, 1)[:, None, :]  # (B, 1, Kp)
     dbasis2, dcofT = _fused_bwd_call(basis2, gtT, onehotT, cofT, boxesT,
@@ -282,7 +287,7 @@ def mask_bce_fused_available() -> bool:
 
 
 def mask_bce_loss_fused(basis, cofs, boxes, gt_masks_g, gt_idx,
-                        interpret=False):
+                        interpret=False, mm_dtype=jnp.bfloat16):
     """Batched fused mask BCE.
 
     Args:
@@ -291,6 +296,13 @@ def mask_bce_loss_fused(basis, cofs, boxes, gt_masks_g, gt_idx,
       boxes: (B, K, 4) xyxy in mask (stride-2) coordinates.
       gt_masks_g: (B, G, h, w) binary {0,1} gt masks.
       gt_idx: (B, K) int32 gt index per positive.
+      mm_dtype: dtype the assembly/gather matmuls run in (f32 accumulate
+        either way). Pass the MODEL's compute dtype: when the model runs
+        bf16, basis/cofs values are already bf16-representable, so the
+        bf16 cast is lossless and the kernel matches the f32 XLA fallback
+        up to summation order; when the model runs f32, pass float32 so
+        the fused path does not silently quantize (slower MXU passes, but
+        that configuration is chosen for precision).
     Returns:
       (B, K) pixel-summed BCE per positive — same values as
       vmap(mask_bce_loss_indexed) (ops/crop_split.py) up to summation order.
@@ -298,4 +310,5 @@ def mask_bce_loss_fused(basis, cofs, boxes, gt_masks_g, gt_idx,
     """
     return _mask_bce_core(basis, cofs, boxes,
                           jax.lax.stop_gradient(gt_masks_g),
-                          gt_idx, interpret)
+                          gt_idx, interpret,
+                          jax.dtypes.canonicalize_dtype(mm_dtype))

@@ -683,6 +683,65 @@ def load_reference_transforms():
     mmcv.bgr2hsv = lambda img: cv2.cvtColor(img, cv2.COLOR_BGR2HSV)
     mmcv.hsv2bgr = lambda img: cv2.cvtColor(img, cv2.COLOR_HSV2BGR)
 
+    # mmcv 0.x imaging functions, reimplemented per their documented cv2
+    # semantics (mmcv/image/transforms/{resize,normalize,flip,pad}.py of the
+    # era): imresize takes (w, h); imrescale computes the single scalar
+    # keep-ratio factor and the int(x*f+0.5) target size; imnormalize is
+    # plain (img - mean) / std after optional BGR->RGB.
+    _interp = dict(nearest=cv2.INTER_NEAREST, bilinear=cv2.INTER_LINEAR,
+                   bicubic=cv2.INTER_CUBIC, area=cv2.INTER_AREA,
+                   lanczos=cv2.INTER_LANCZOS4)
+    import numpy as _np
+
+    def _imresize(img, size, return_scale=False, interpolation="bilinear"):
+        h, w = img.shape[:2]
+        out = cv2.resize(img, size, interpolation=_interp[interpolation])
+        if not return_scale:
+            return out
+        return out, size[0] / w, size[1] / h
+
+    def _imrescale(img, scale, return_scale=False, interpolation="bilinear"):
+        h, w = img.shape[:2]
+        if isinstance(scale, (float, int)):
+            f = scale
+        else:
+            long_edge, short_edge = max(scale), min(scale)
+            f = min(long_edge / max(h, w), short_edge / min(h, w))
+        size = (int(w * f + 0.5), int(h * f + 0.5))
+        out = _imresize(img, size, interpolation=interpolation)
+        return (out, f) if return_scale else out
+
+    def _impad(img, shape, pad_val=0):
+        if len(shape) < len(img.shape):
+            shape = shape + (img.shape[-1],)
+        pad = _np.empty(shape, dtype=img.dtype)
+        pad[...] = pad_val
+        pad[:img.shape[0], :img.shape[1], ...] = img
+        return pad
+
+    def _impad_to_multiple(img, divisor, pad_val=0):
+        ph = int(_np.ceil(img.shape[0] / divisor)) * divisor
+        pw = int(_np.ceil(img.shape[1] / divisor)) * divisor
+        return _impad(img, (ph, pw), pad_val)
+
+    def _imnormalize(img, mean, std, to_rgb=True):
+        img = img.astype(_np.float32)
+        if to_rgb:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return (img - mean) / std
+
+    mmcv.imresize = _imresize
+    mmcv.imrescale = _imrescale
+    mmcv.imflip = lambda img, direction="horizontal": (
+        _np.flip(img, axis=1) if direction == "horizontal"
+        else _np.flip(img, axis=0))
+    mmcv.impad = _impad
+    mmcv.impad_to_multiple = _impad_to_multiple
+    mmcv.imnormalize = _imnormalize
+    mmcv.is_list_of = lambda seq, t: isinstance(seq, (list, tuple)) and all(
+        isinstance(x, t) for x in seq)
+    mmcv.is_str = lambda x: isinstance(x, str)
+
     for name in ("mmdet", "mmdet.core", "mmdet.core.evaluation",
                  "mmdet.datasets", "mmdet.datasets.pipelines"):
         if name not in sys.modules:

@@ -116,6 +116,49 @@ class TestTransforms:
             assert xs.min() >= x1 - 2 and xs.max() <= x2 + 2
             assert ys.min() >= y1 - 2 and ys.max() <= y2 + 2
 
+
+    def test_train_size_stretch_vs_fixed_size(self, tiny_coco):
+        """RT semantics: train at train_size (576-style stretch), test at
+        fixed_size; a plain fixed_size override (no train_size) controls
+        BOTH train and test (regression: train once misread img_scale as
+        the train shape, breaking data.fixed_size overrides)."""
+        from sipmask_tpu.data.transforms import TestTransform
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        # RT-style: fixed_size 64, train_size 96
+        cfg = DataConfig(fixed_size=(64, 64), train_size=(96, 96), max_gts=8)
+        tr, te = TrainTransform(cfg, seed=0), TestTransform(cfg)
+        s = tr(ds.load_image(0), *ds.get_ann(0), image_id=1)
+        assert s.image.shape == (96, 96, 3)
+        assert s.gt_masks.shape[1:] == (48, 48)
+        assert te(ds.load_image(0)).image.shape == (64, 64, 3)
+        # plain fixed_size (the documented --cfg-options override path)
+        cfg2 = DataConfig(fixed_size=(64, 64), img_scale=(1333, 800),
+                          max_gts=8)
+        tr2, te2 = TrainTransform(cfg2, seed=0), TestTransform(cfg2)
+        assert tr2(ds.load_image(0), *ds.get_ann(0)).image.shape == (64, 64, 3)
+        assert te2(ds.load_image(0)).image.shape == (64, 64, 3)
+
+    def test_vis_pair_image_matches_bucket(self, tiny_coco):
+        """VISPairTransform image canvas and bucket_shape must agree under
+        fixed_size/train_size (regression: bucket once returned the train
+        stretch while the image resized to fixed_size)."""
+        from sipmask_tpu.data.transforms import VISPairTransform
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        for kw in (dict(fixed_size=(64, 64)),
+                   dict(fixed_size=(64, 64), train_size=(96, 96))):
+            cfg = DataConfig(max_gts=8, **kw)
+            tf = VISPairTransform(cfg, seed=0)
+            img = ds.load_image(0)
+            boxes, labels, masks = ds.get_ann(0)
+            pair = dict(img=img, ref_img=img, boxes=boxes, labels=labels,
+                        masks=masks, ref_boxes=boxes, ref_labels=labels,
+                        gt_pids=np.arange(1, len(boxes) + 1))
+            out = tf(pair)
+            ph, pw = tf.bucket_shape(True)
+            assert out["image"].shape == (ph, pw, 3)
+            assert out["ref_image"].shape == (ph, pw, 3)
+
+
     def test_ssd_augs_run(self, tiny_coco):
         ds = CocoDataset(*tiny_coco, min_size=1)
         cfg = DataConfig(fixed_size=(64, 64), img_scale=(64, 64),

@@ -787,3 +787,37 @@ class TestFusedMaskBce:
                                   interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-3, atol=0.5)
+
+    def test_f32_mm_dtype_matches_indexed_tightly(self):
+        # mm_dtype=float32 must remove the bf16 quantization entirely:
+        # the fused path then agrees with the XLA f32 path to fp tolerance
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture(seed=5)
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True, mm_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-3)
+
+    def test_pixel_coords_exact_at_reciprocal_edge_widths(self):
+        # w=656 is one of 38 widths <= 2048 where floor(fi * (1/w)) in f32
+        # is off by one at exact multiples of w; the kernel must still
+        # place every pixel on the correct row (regression for the
+        # +0.5-offset fix in _pixel_coords)
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        rng = np.random.RandomState(6)
+        b, h, w, nb, k, g = 1, 4, 656, 8, 8, 2
+        basis = jnp.asarray(rng.randn(b, h, w, nb).astype(np.float32))
+        cofs = jnp.asarray(rng.randn(b, k, 4 * nb).astype(np.float32) * 0.3)
+        # boxes spanning the row boundary so a mis-rowed pixel flips its
+        # in-box/quadrant tests
+        boxes = jnp.asarray(
+            np.tile(np.array([[0.0, 1.0, 656.0, 3.0]], np.float32),
+                    (k, 1))[None])
+        gt = jnp.asarray((rng.rand(b, g, h, w) > 0.5).astype(np.uint8))
+        gidx = jnp.asarray(rng.randint(0, g, (b, k)).astype(np.int32))
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True, mm_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-3)

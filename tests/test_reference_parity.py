@@ -630,3 +630,96 @@ class TestSSDAugParity:
                 np.random.RandomState(seed))
             np.testing.assert_array_equal(gi, res["img"])
             assert len(gb) == 0 and len(gl) == 0
+
+
+class TestKeepRatioPipelineParity:
+    """The hi-acc (keep-ratio) train/test pipeline vs the reference's OWN
+    Resize/RandomFlip/Normalize/Pad classes (transforms.py:24-360). Draw
+    order matches (single-scale Resize draws nothing; RandomFlip draws one
+    rand), so a shared MT19937 seed makes the comparison bit-for-bit on
+    image, boxes, and scale factor; gt masks compare after applying OUR
+    in-loss stride-2 binarization to the reference's full-res masks."""
+
+    MEAN = (102.9801, 115.9465, 122.7717)
+
+    @staticmethod
+    def _inputs(seed):
+        r = np.random.RandomState(seed + 2000)
+        h, w = int(r.randint(100, 240)), int(r.randint(100, 240))
+        img = (r.rand(h, w, 3) * 255).astype(np.uint8)
+        n = int(r.randint(1, 5))
+        x1 = r.uniform(0, w - 30, n)
+        y1 = r.uniform(0, h - 30, n)
+        x2 = np.minimum(x1 + r.uniform(8, w / 2, n), w - 1)
+        y2 = np.minimum(y1 + r.uniform(8, h / 2, n), h - 1)
+        boxes = np.stack([x1, y1, x2, y2], 1).astype(np.float32)
+        labels = r.randint(1, 10, n).astype(np.int64)
+        masks = (r.rand(n, h, w) > 0.6).astype(np.uint8)
+        return img, boxes, labels, masks
+
+    def _ref_pipeline(self, T, img, boxes, masks, scale, flip_ratio):
+        res = dict(img=img.astype(np.float32), gt_bboxes=boxes.copy(),
+                   gt_masks=masks.copy(), bbox_fields=["gt_bboxes"],
+                   mask_fields=["gt_masks"], seg_fields=[])
+        res = T.Resize(img_scale=[scale], keep_ratio=True)(res)
+        res = T.RandomFlip(flip_ratio=flip_ratio)(res)
+        res = T.Normalize(mean=self.MEAN, std=(1.0, 1.0, 1.0),
+                          to_rgb=False)(res)
+        res = T.Pad(size_divisor=32)(res)
+        return res
+
+    def test_train_pipeline_parity(self):
+        import cv2
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data.transforms import TrainTransform
+        T = load_reference_transforms()
+        scale = (320, 200)  # (long, short)
+        for seed in range(8):
+            img, boxes, labels, masks = self._inputs(seed)
+            np.random.seed(seed)
+            ref = self._ref_pipeline(T, img, boxes, masks, scale,
+                                     flip_ratio=0.5)
+            cfg = DataConfig(img_scale=scale, mean=self.MEAN,
+                             max_gts=8, flip_ratio=0.5)
+            tf = TrainTransform(cfg, seed=seed)
+            s = tf(img, boxes, labels, masks)
+            n = len(boxes)
+            rh, rw = ref["img"].shape[:2]
+            # image: identical on the reference's padded extent (our bucket
+            # is >= the div-32 pad; beyond it both are zeros)
+            np.testing.assert_array_equal(s.image[:rh, :rw], ref["img"])
+            assert np.all(s.image[rh:] == 0) and np.all(s.image[:, rw:] == 0)
+            # boxes: scalar-factor scaling, clip, flip — bit-for-bit
+            np.testing.assert_array_equal(s.gt_bboxes[:n], ref["gt_bboxes"])
+            # stored f32 (the reference keeps a python float until the
+            # torch boundary casts it to f32 — same value there)
+            assert s.scale_factor[0] == np.float32(ref["scale_factor"])
+            assert np.all(s.scale_factor == s.scale_factor[0])
+            # masks: reference full-res masks through OUR in-loss stride-2
+            # sequence (pad to bucket, 0.5x bilinear, > 0.5)
+            ph, pw = s.image.shape[:2]
+            for i in range(n):
+                mp = np.zeros((ph, pw), np.float32)
+                rm = ref["gt_masks"][i].astype(np.float32)
+                mp[:rm.shape[0], :rm.shape[1]] = rm
+                want = cv2.resize(mp, (pw // 2, ph // 2),
+                                  interpolation=cv2.INTER_LINEAR) > 0.5
+                np.testing.assert_array_equal(s.gt_masks[i], want)
+
+    def test_test_pipeline_parity(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data.transforms import TestTransform
+        T = load_reference_transforms()
+        scale = (320, 200)
+        for seed in range(4):
+            img, boxes, _, masks = self._inputs(seed)
+            np.random.seed(seed)
+            ref = self._ref_pipeline(T, img, boxes, masks, scale,
+                                     flip_ratio=0.0)
+            cfg = DataConfig(img_scale=scale, mean=self.MEAN, max_gts=8)
+            s = TestTransform(cfg)(img)
+            rh, rw = ref["img"].shape[:2]
+            np.testing.assert_array_equal(s.image[:rh, :rw], ref["img"])
+            assert s.scale_factor[0] == np.float32(ref["scale_factor"])

@@ -37,8 +37,13 @@ def main():
 
     cfg = get_config(args.config)
     cfg = _r(cfg, "model", compute_dtype=args.dtype)
-    h, w = args.shape or cfg.data.fixed_size or (
-        min(cfg.data.img_scale), min(cfg.data.img_scale))
+    def mode_shape(mode):
+        # train benches default to the train-time shape (RT trains at the
+        # 576 train_size stretch, tests at the 544 fixed_size)
+        return args.shape \
+            or (cfg.data.train_size if mode == "train" else None) \
+            or cfg.data.fixed_size \
+            or (min(cfg.data.img_scale), min(cfg.data.img_scale))
     rng = np.random.RandomState(0)
 
     def timeit(f, *a):
@@ -57,6 +62,7 @@ def main():
         return (time.perf_counter() - t0) / args.iters
 
     if "infer" in args.mode:
+        h, w = mode_shape("infer")
         b = args.batch_size
         model = build_model(cfg.model)
         images = jnp.asarray(rng.randn(b, h, w, 3).astype(np.float32) * 20)
@@ -79,6 +85,7 @@ def main():
     if "train" in args.mode:
         from sipmask_tpu.train import create_train_state, make_train_step
         from sipmask_tpu.utils import demo_batch
+        h, w = mode_shape("train")
         b = args.train_batch
         batch_np = demo_batch(batch_size=b, height=h, width=w, max_gts=16)
         model, state, tx = create_train_state(

@@ -138,8 +138,12 @@ def main():
     from sipmask_tpu.models.decode import decode_batch
 
     cfg = _r(get_config(args.config), "model", compute_dtype=args.dtype)
-    h, w = args.shape or cfg.data.fixed_size or (
-        min(cfg.data.img_scale), min(cfg.data.img_scale))
+    # train profiles default to the train-time shape (the 6x RT recipe
+    # trains at the 576 train_size stretch, tests at the 544 fixed_size)
+    default = (cfg.data.train_size if args.mode == "train" else None) \
+        or cfg.data.fixed_size \
+        or (min(cfg.data.img_scale), min(cfg.data.img_scale))
+    h, w = args.shape or default
     rng = np.random.RandomState(0)
     b = args.batch
 
