@@ -723,3 +723,54 @@ class TestKeepRatioPipelineParity:
             rh, rw = ref["img"].shape[:2]
             np.testing.assert_array_equal(s.image[:rh, :rw], ref["img"])
             assert s.scale_factor[0] == np.float32(ref["scale_factor"])
+
+
+class TestSSDTrainTransformComposition:
+    """END-TO-END TrainTransform (fixed-size SSD path) vs the reference's
+    full 6x train pipeline composed from ITS OWN classes in config order
+    (sipmask_r50_caffe_fpn_ssd_6x.py:64-87): PhotoMetricDistortion ->
+    Expand -> MinIoURandomCrop -> Resize(576, keep_ratio=False) ->
+    Normalize -> RandomFlip. Stage-level parity is covered elsewhere; this
+    pins the COMPOSITION: stage order, rng threading across stages, the
+    per-axis imresize factors, and the resize-before-flip mask order."""
+
+    MEAN = (102.9801, 115.9465, 122.7717)
+
+    def test_composition_bit_parity(self):
+        import cv2
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data.transforms import TrainTransform
+        T = load_reference_transforms()
+        size = 64  # stand-in for 576 (exact divisor-of-32 square)
+        for seed in range(12):
+            img, boxes, labels, masks = TestSSDAugParity._inputs(seed)
+            np.random.seed(seed)
+            res = dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                       gt_labels=labels.copy(), gt_masks=masks.copy(),
+                       bbox_fields=["gt_bboxes"], mask_fields=["gt_masks"],
+                       seg_fields=[])
+            res = T.PhotoMetricDistortion()(res)
+            res = T.Expand(mean=self.MEAN, to_rgb=False)(res)
+            res = T.MinIoURandomCrop()(res)
+            res = T.Resize(img_scale=[(size, size)], keep_ratio=False)(res)
+            res = T.Normalize(mean=self.MEAN, std=(1, 1, 1),
+                              to_rgb=False)(res)
+            res = T.RandomFlip(flip_ratio=0.5)(res)
+
+            cfg = DataConfig(fixed_size=(size, size), mean=self.MEAN,
+                             ssd_augs=True, max_gts=8, flip_ratio=0.5)
+            s = TrainTransform(cfg, seed=seed)(
+                img.copy(), boxes.copy(), labels.copy(), masks.copy())
+            n = len(res["gt_bboxes"])
+            np.testing.assert_array_equal(s.image, res["img"])
+            np.testing.assert_array_equal(s.gt_bboxes[:n], res["gt_bboxes"])
+            np.testing.assert_array_equal(s.gt_labels[:n], res["gt_labels"])
+            np.testing.assert_array_equal(
+                s.scale_factor, res["scale_factor"].astype(np.float32))
+            for i in range(min(n, 8)):
+                want = cv2.resize(
+                    res["gt_masks"][i].astype(np.float32),
+                    (size // 2, size // 2),
+                    interpolation=cv2.INTER_LINEAR) > 0.5
+                np.testing.assert_array_equal(s.gt_masks[i], want)
