@@ -76,7 +76,9 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
         transform = VISPairTransform(cfg.data, seed=cfg.train.seed)
         loader, steps_per_epoch = build_vis_train_loader(
             dataset, transform, local_batch, seed=cfg.train.seed,
-            shard_id=shard_id, num_shards=num_shards)
+            shard_id=shard_id, num_shards=num_shards,
+            num_workers=cfg.data.num_workers,
+            num_worker_procs=cfg.data.num_worker_procs)
     else:
         if dataset is None:
             dataset = CocoDataset(ann_file, img_prefix)
@@ -84,7 +86,9 @@ def train_detector(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
         loader, steps_per_epoch = build_train_loader(
             dataset, transform, local_batch, seed=cfg.train.seed,
             repeat_times=cfg.data.repeat_times,
-            shard_id=shard_id, num_shards=num_shards)
+            shard_id=shard_id, num_shards=num_shards,
+            num_workers=cfg.data.num_workers,
+            num_worker_procs=cfg.data.num_worker_procs)
 
     first = next(loader)
     model, state, tx = create_train_state(

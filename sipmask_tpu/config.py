@@ -140,6 +140,10 @@ class DataConfig:
     # multi-scale training: one scale sampled per image (the reference's
     # Resize with a list of img_scales); padding buckets use the largest
     ms_scales: Optional[Tuple[Tuple[int, int], ...]] = None
+    # 'range' (the reference Resize/random_scale DEFAULT, used by every ms
+    # config): long/short edges each drawn uniformly via randint between
+    # the two scales' endpoints. 'value': pick one scale from the list.
+    ms_mode: str = "range"
     keep_ratio: bool = True
     fixed_size: Optional[Tuple[int, int]] = None  # (H, W); real-time: (544, 544)
     # train-time stretch size when it differs from fixed_size: the 6x RT
@@ -156,6 +160,11 @@ class DataConfig:
     ssd_augs: bool = False  # PhotoMetricDistortion/Expand/MinIoURandomCrop
     repeat_times: int = 1  # RepeatDataset wrapper (ssd_6x uses 3)
     max_gts: int = 64  # static pad of gt instances per image
+    # host loader workers (reference workers_per_gpu): threads by default;
+    # set num_worker_procs > 0 for real processes when the numpy share of
+    # the pipeline is GIL-bound on many-core hosts
+    num_workers: int = 8
+    num_worker_procs: int = 0
 
 
 @dataclass(frozen=True)
@@ -325,7 +334,11 @@ def get_config(name: str) -> SipMaskConfig:
     if name == "sipmask_vis_r50_ms":
         # VIS multi-scale training row (reference README:155)
         cfg = get_config("sipmask_vis_r50").replace(name=name)
-        return _r(cfg, "data", ms_scales=((640, 360), (960, 480)))
+        # (649, 360) preserves the reference config's literal value
+        # (SipMask-VIS/configs/sipmask/sipmask_r50_caffe_fpn_gn_ms_1x.py:69
+        # — presumably a 640 typo, but it is what the recipe trains with):
+        # range mode draws long in [649, 960], short in [360, 480]
+        return _r(cfg, "data", ms_scales=((649, 360), (960, 480)))
     raise KeyError(f"unknown config preset: {name!r}; known: {list_configs()}")
 
 

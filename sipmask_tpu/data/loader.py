@@ -5,9 +5,12 @@ build_dataloader (mmdet/datasets/loader/sampler.py:11-164, build_loader.py):
 - aspect-ratio-grouped batches (landscape/portrait) so each batch pads to
   one of two static shapes -> at most two compiled graphs;
 - RepeatDataset epoch multiplier (dataset_wrappers.py) via ``repeat_times``;
-- thread-pool transform workers + a bounded prefetch queue (the torch
-  DataLoader worker analog; host side only, device transfer is the
-  trainer's job);
+- transform workers + a bounded prefetch queue (the torch DataLoader
+  worker analog; host side only, device transfer is the trainer's job):
+  threads by default (cv2 releases the GIL for the resize/color work), or
+  REAL worker processes with ``num_worker_procs > 0`` — the
+  ``workers_per_gpu`` equivalent for hosts where the numpy share of the
+  pipeline is GIL-bound;
 - multi-host sharding: pass (shard_id, num_shards) to partition the index
   stream per process (DistributedGroupSampler equivalent).
 """
@@ -22,6 +25,49 @@ from typing import Iterator, Optional
 import numpy as np
 
 from .transforms import TrainTransform, TestTransform, Sample
+
+# --- process-pool worker plumbing (torch DataLoader worker_init analog).
+# Spawn (not fork: the parent holds XLA/JAX threads) + one-time initargs:
+# each worker gets its own dataset handle and a transform reseeded by
+# worker id so augmentation streams are independent and deterministic
+# given (seed, worker count).
+_W_DATASET = None
+_W_TRANSFORM = None
+
+
+def _proc_init(dataset, transform, seed_base):
+    global _W_DATASET, _W_TRANSFORM
+    _W_DATASET = dataset
+    _W_TRANSFORM = transform
+    if hasattr(transform, "rng"):
+        import os
+        transform.rng = np.random.RandomState(
+            (seed_base + os.getpid()) % (2 ** 31))
+
+
+def _proc_load_train(idx):
+    img = _W_DATASET.load_image(int(idx))
+    boxes, labels, masks = _W_DATASET.get_ann(int(idx))
+    return _W_TRANSFORM(img, boxes, labels, masks,
+                        image_id=_W_DATASET.image_id(int(idx)))
+
+
+def _proc_load_pair(idx):
+    return _W_TRANSFORM(_W_DATASET.get_train_pair(int(idx)))
+
+
+def _make_mapper(dataset, transform, num_workers, num_worker_procs,
+                 load_one, proc_load, seed=0):
+    """Returns map(fn over indices) backed by threads or processes."""
+    if num_worker_procs > 0:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        pool = ProcessPoolExecutor(
+            num_worker_procs, mp_context=mp.get_context("spawn"),
+            initializer=_proc_init, initargs=(dataset, transform, seed))
+        return lambda idxs: pool.map(proc_load, [int(i) for i in idxs])
+    pool = ThreadPoolExecutor(num_workers)
+    return lambda idxs: pool.map(load_one, idxs)
 
 
 def _stack_batch(samples, keys=("image", "gt_bboxes", "gt_labels",
@@ -40,12 +86,12 @@ def _stack_batch(samples, keys=("image", "gt_bboxes", "gt_labels",
 def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
                        seed: int = 0, repeat_times: int = 1,
                        num_workers: int = 8, prefetch: int = 4,
-                       shard_id: int = 0, num_shards: int = 1):
+                       shard_id: int = 0, num_shards: int = 1,
+                       num_worker_procs: int = 0):
     """Infinite iterator of stacked numpy batches, aspect-grouped."""
     rng = np.random.RandomState(seed)
     flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
     groups = [np.where(flags)[0], np.where(~flags)[0]]
-    pool = ThreadPoolExecutor(num_workers)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def load_one(idx):
@@ -53,6 +99,10 @@ def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
         boxes, labels, masks = dataset.get_ann(idx)
         return transform(img, boxes, labels, masks,
                          image_id=dataset.image_id(idx))
+
+    mapper = _make_mapper(dataset, transform, num_workers,
+                          num_worker_procs, load_one, _proc_load_train,
+                          seed=seed)
 
     def epoch_batches():
         batches = []
@@ -71,7 +121,7 @@ def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
     def producer():
         while True:
             for bidx in epoch_batches():
-                samples = list(pool.map(load_one, bidx))
+                samples = list(mapper(bidx))
                 q.put(_stack_batch(samples))
 
     t = threading.Thread(target=producer, daemon=True)
@@ -120,17 +170,21 @@ def build_test_loader(dataset, transform: TestTransform, batch_size: int = 1,
 def build_vis_train_loader(dataset, transform, batch_size: int,
                            seed: int = 0, num_workers: int = 8,
                            prefetch: int = 4,
-                           shard_id: int = 0, num_shards: int = 1):
+                           shard_id: int = 0, num_shards: int = 1,
+                           num_worker_procs: int = 0):
     """VIS pair loader: yields dict batches with current+reference frames
     (the reference's prepare_train_img pair sampling, ytvos.py:188-240)."""
     rng = np.random.RandomState(seed)
     flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
     groups = [np.where(flags)[0], np.where(~flags)[0]]
-    pool = ThreadPoolExecutor(num_workers)
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def load_one(idx):
         return transform(dataset.get_train_pair(idx))
+
+    mapper = _make_mapper(dataset, transform, num_workers,
+                          num_worker_procs, load_one, _proc_load_pair,
+                          seed=seed)
 
     def epoch_batches():
         batches = []
@@ -147,7 +201,7 @@ def build_vis_train_loader(dataset, transform, batch_size: int,
     def producer():
         while True:
             for bidx in epoch_batches():
-                samples = list(pool.map(load_one, bidx))
+                samples = list(mapper(bidx))
                 batch = {}
                 name_map = dict(image="images", ref_image="ref_images",
                                 img_shape="img_shapes",

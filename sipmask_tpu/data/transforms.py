@@ -43,6 +43,27 @@ def resize_image(img, out_h, out_w, interp=cv2.INTER_LINEAR):
     return cv2.resize(img, (out_w, out_h), interpolation=interp)
 
 
+def sample_ms_scale(scales, mode: str, rng) -> Tuple[int, int]:
+    """One train scale per image — the reference's Resize.random_sample /
+    random_scale semantics (transforms.py:82-96, VIS utils.py:30-60).
+    'range' (the reference default for every ms config): draw the long
+    edge then the short edge by randint between the two scales' endpoints.
+    'value': pick one scale from the list."""
+    if len(scales) == 1:
+        return scales[0]
+    if mode == "range":
+        if len(scales) != 2:
+            raise ValueError("range mode needs exactly 2 scales")
+        longs = [max(s) for s in scales]
+        shorts = [min(s) for s in scales]
+        long_e = rng.randint(min(longs), max(longs) + 1)
+        short_e = rng.randint(min(shorts), max(shorts) + 1)
+        return (int(long_e), int(short_e))
+    if mode == "value":
+        return scales[rng.randint(len(scales))]
+    raise ValueError(f"unknown ms_mode {mode!r}")
+
+
 def photometric_distortion(img, rng, brightness_delta=32,
                            contrast_range=(0.5, 1.5),
                            saturation_range=(0.5, 1.5), hue_delta=18):
@@ -226,7 +247,7 @@ class TrainTransform:
         else:
             scale = cfg.img_scale
             if cfg.ms_scales:  # multi-scale train: sample one per image
-                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
+                scale = sample_ms_scale(cfg.ms_scales, cfg.ms_mode, rng)
             out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
         if cfg.fixed_size is not None:
@@ -345,7 +366,10 @@ class VISPairTransform:
     equivalent of sipmask_head.py:471-484)."""
 
     def __init__(self, cfg: DataConfig, seed: int = 0,
-                 jitter_amplitude: float = 0.05):
+                 jitter_amplitude: float = 0.0):
+        # jitter_amplitude is the ytvos.py bbox_aug analog
+        # (aug_ref_bbox_param); the reference VIS configs leave it None ->
+        # default 0 = train on exact scaled ref boxes like the reference
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
         self.mean = np.asarray(cfg.mean, np.float32)
@@ -363,20 +387,21 @@ class VISPairTransform:
         rboxes, rlabels = pair["ref_boxes"].copy(), pair["ref_labels"]
         h, w = img.shape[:2]
 
+        # the VIS fork draws flip BEFORE the train scale
+        # (ytvos.py:240-242: np.random.rand() then random_scale)
+        flip = rng.rand() < cfg.flip_ratio
         if cfg.fixed_size is not None:
             # same train-stretch rule as TrainTransform (and its
             # bucket_shape, which this class delegates to)
             out_h, out_w = cfg.train_size or cfg.fixed_size
             landscape = True
+            sx, sy = out_w / w, out_h / h     # imresize per-axis factors
         else:
             scale = cfg.img_scale
             if cfg.ms_scales:  # multi-scale train: sample one per image
-                scale = cfg.ms_scales[rng.randint(len(cfg.ms_scales))]
+                scale = sample_ms_scale(cfg.ms_scales, cfg.ms_mode, rng)
             out_h, out_w = imrescale_size(h, w, scale)
             landscape = out_w >= out_h
-        if cfg.fixed_size is not None:
-            sx, sy = out_w / w, out_h / h     # imresize per-axis factors
-        else:
             sx = sy = imrescale_factor(h, w, scale)  # imrescale scalar
         scale = np.array([sx, sy, sx, sy], np.float32)
         img = resize_image(img, out_h, out_w)
@@ -384,7 +409,6 @@ class VISPairTransform:
         boxes = boxes * scale
         rboxes = rboxes * scale
 
-        flip = rng.rand() < cfg.flip_ratio
         if flip:
             img, ref = img[:, ::-1], ref[:, ::-1]
             for bb in (boxes, rboxes):

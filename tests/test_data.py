@@ -248,3 +248,23 @@ class TestMultiScaleTrain:
             assert s.image.shape == (128, 224, 3)  # static bucket
             shapes.add(tuple(s.img_shape.astype(int)))
         assert len(shapes) >= 2  # both scales seen
+
+
+class TestProcessWorkers:
+    """num_worker_procs > 0: REAL worker processes (the reference's
+    workers_per_gpu analog) — spawn context, per-worker reseeded aug rng."""
+
+    def test_train_loader_with_process_workers(self, tiny_coco):
+        from sipmask_tpu.data.loader import build_train_loader
+        ds = CocoDataset(*tiny_coco, min_size=1)
+        cfg = DataConfig(img_scale=(160, 96), max_gts=8)
+        tf = TrainTransform(cfg, seed=0)
+        it, spe = build_train_loader(ds, tf, batch_size=2, seed=0,
+                                     num_worker_procs=2)
+        for _ in range(2):
+            b = next(it)
+            assert b["images"].shape[0] == 2
+            assert b["images"].shape[3] == 3
+            assert np.isfinite(b["images"]).all()
+            assert b["gt_bboxes"].shape == (2, 8, 4)
+        assert spe >= 1

@@ -774,3 +774,21 @@ class TestSSDTrainTransformComposition:
                     (size // 2, size // 2),
                     interpolation=cv2.INTER_LINEAR) > 0.5
                 np.testing.assert_array_equal(s.gt_masks[i], want)
+
+
+class TestMsRangeScaleParity:
+    """Multi-scale 'range' sampling vs the reference Resize.random_sample
+    (transforms.py:82-96): long edge drawn first, then short, via randint
+    over the endpoint ranges — identical draws under a shared seed."""
+
+    def test_sampled_scales_match_reference(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.data.transforms import sample_ms_scale
+        T = load_reference_transforms()
+        scales = [(1333, 640), (1333, 800)]
+        for seed in range(20):
+            np.random.seed(seed)
+            want, _ = T.Resize.random_sample(scales)
+            got = sample_ms_scale(tuple(scales), "range",
+                                  np.random.RandomState(seed))
+            assert tuple(got) == tuple(want)
