@@ -26,48 +26,87 @@ import numpy as np
 
 from .transforms import TrainTransform, TestTransform, Sample
 
-# --- process-pool worker plumbing (torch DataLoader worker_init analog).
-# Spawn (not fork: the parent holds XLA/JAX threads) + one-time initargs:
-# each worker gets its own dataset handle and a transform reseeded by
-# worker id so augmentation streams are independent and deterministic
-# given (seed, worker count).
+# --- process-pool worker plumbing (torch DataLoader worker analog).
+# Spawn (not fork: the parent holds XLA/JAX threads) + one-time initargs.
+# Randomness is seeded PER SAMPLE from (base seed, producer step, index):
+# augmentation and the VIS ref-frame draw are then deterministic given the
+# config seed and fully independent of worker count and scheduling — and
+# the same image still gets fresh draws on every epoch revisit (step moves).
 _W_DATASET = None
 _W_TRANSFORM = None
+_W_SEED = 0
 
 
 def _proc_init(dataset, transform, seed_base):
-    global _W_DATASET, _W_TRANSFORM
+    global _W_DATASET, _W_TRANSFORM, _W_SEED
     _W_DATASET = dataset
     _W_TRANSFORM = transform
-    if hasattr(transform, "rng"):
-        import os
-        transform.rng = np.random.RandomState(
-            (seed_base + os.getpid()) % (2 ** 31))
+    _W_SEED = seed_base
 
 
-def _proc_load_train(idx):
+def _sample_rng(step, idx, salt=0):
+    ss = np.random.SeedSequence((_W_SEED, step, int(idx), salt))
+    return np.random.RandomState(ss.generate_state(1)[0])
+
+
+def _proc_load_train(args):
+    idx, step = args
+    if hasattr(_W_TRANSFORM, "rng"):
+        _W_TRANSFORM.rng = _sample_rng(step, idx)
     img = _W_DATASET.load_image(int(idx))
     boxes, labels, masks = _W_DATASET.get_ann(int(idx))
     return _W_TRANSFORM(img, boxes, labels, masks,
                         image_id=_W_DATASET.image_id(int(idx)))
 
 
-def _proc_load_pair(idx):
+def _proc_load_pair(args):
+    idx, step = args
+    if hasattr(_W_TRANSFORM, "rng"):
+        _W_TRANSFORM.rng = _sample_rng(step, idx)
+    if hasattr(_W_DATASET, "rng"):  # ref-frame sampling draws
+        _W_DATASET.rng = _sample_rng(step, idx, salt=1)
     return _W_TRANSFORM(_W_DATASET.get_train_pair(int(idx)))
 
 
 def _make_mapper(dataset, transform, num_workers, num_worker_procs,
                  load_one, proc_load, seed=0):
-    """Returns map(fn over indices) backed by threads or processes."""
+    """Returns (mapper(idxs, step), shutdown) backed by threads or
+    processes. The thread path shares the transform's single rng (order
+    nondeterministic under concurrency either way); the process path uses
+    the per-sample seeding above."""
     if num_worker_procs > 0:
         import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
         pool = ProcessPoolExecutor(
             num_worker_procs, mp_context=mp.get_context("spawn"),
             initializer=_proc_init, initargs=(dataset, transform, seed))
-        return lambda idxs: pool.map(proc_load, [int(i) for i in idxs])
+        return (lambda idxs, step: pool.map(
+            proc_load, [(int(i), step) for i in idxs]),
+            lambda: pool.shutdown(wait=False, cancel_futures=True))
     pool = ThreadPoolExecutor(num_workers)
-    return lambda idxs: pool.map(load_one, idxs)
+    return (lambda idxs, step: pool.map(load_one, idxs),
+            lambda: pool.shutdown(wait=False))
+
+
+class _ProducerError:
+    """Carries a producer-thread exception through the prefetch queue so
+    training fails loudly instead of hanging at q.get() (e.g. a worker
+    killed by the OOM killer -> BrokenProcessPool, or unpicklable state
+    under the spawn context)."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
+def _put_until(q, item, stop):
+    """q.put that gives up once the consumer generator is closed."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
 
 
 def _stack_batch(samples, keys=("image", "gt_bboxes", "gt_labels",
@@ -100,9 +139,9 @@ def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
         return transform(img, boxes, labels, masks,
                          image_id=dataset.image_id(idx))
 
-    mapper = _make_mapper(dataset, transform, num_workers,
-                          num_worker_procs, load_one, _proc_load_train,
-                          seed=seed)
+    mapper, shutdown = _make_mapper(dataset, transform, num_workers,
+                                    num_worker_procs, load_one,
+                                    _proc_load_train, seed=seed)
 
     def epoch_batches():
         batches = []
@@ -118,18 +157,33 @@ def build_train_loader(dataset, transform: TrainTransform, batch_size: int,
         order = rng.permutation(len(batches))
         return [batches[i] for i in order][shard_id::num_shards]
 
+    stop = threading.Event()
+
     def producer():
-        while True:
-            for bidx in epoch_batches():
-                samples = list(mapper(bidx))
-                q.put(_stack_batch(samples))
+        step = 0
+        try:
+            while not stop.is_set():
+                for bidx in epoch_batches():
+                    samples = list(mapper(bidx, step))
+                    if not _put_until(q, _stack_batch(samples), stop):
+                        return
+                    step += 1
+        except BaseException as e:  # propagate to the consumer
+            _put_until(q, _ProducerError(e), stop)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
     def gen():
-        while True:
-            yield q.get()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, _ProducerError):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            shutdown()
 
     steps_per_epoch = sum(
         int(np.ceil(len(g) * repeat_times / batch_size)) for g in groups
@@ -182,9 +236,9 @@ def build_vis_train_loader(dataset, transform, batch_size: int,
     def load_one(idx):
         return transform(dataset.get_train_pair(idx))
 
-    mapper = _make_mapper(dataset, transform, num_workers,
-                          num_worker_procs, load_one, _proc_load_pair,
-                          seed=seed)
+    mapper, shutdown = _make_mapper(dataset, transform, num_workers,
+                                    num_worker_procs, load_one,
+                                    _proc_load_pair, seed=seed)
 
     def epoch_batches():
         batches = []
@@ -198,24 +252,39 @@ def build_vis_train_loader(dataset, transform, batch_size: int,
         order = rng.permutation(len(batches))
         return [batches[i] for i in order][shard_id::num_shards]
 
+    stop = threading.Event()
+
     def producer():
-        while True:
-            for bidx in epoch_batches():
-                samples = list(mapper(bidx))
-                batch = {}
-                name_map = dict(image="images", ref_image="ref_images",
-                                img_shape="img_shapes",
-                                scale_factor="scale_factors")
-                for k in samples[0]:
-                    batch[name_map.get(k, k)] = np.stack(
-                        [s[k] for s in samples])
-                q.put(batch)
+        step = 0
+        try:
+            while not stop.is_set():
+                for bidx in epoch_batches():
+                    samples = list(mapper(bidx, step))
+                    batch = {}
+                    name_map = dict(image="images", ref_image="ref_images",
+                                    img_shape="img_shapes",
+                                    scale_factor="scale_factors")
+                    for k in samples[0]:
+                        batch[name_map.get(k, k)] = np.stack(
+                            [s[k] for s in samples])
+                    if not _put_until(q, batch, stop):
+                        return
+                    step += 1
+        except BaseException as e:
+            _put_until(q, _ProducerError(e), stop)
 
     threading.Thread(target=producer, daemon=True).start()
 
     def gen():
-        while True:
-            yield q.get()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, _ProducerError):
+                    raise item.exc
+                yield item
+        finally:
+            stop.set()
+            shutdown()
 
     steps_per_epoch = sum(int(np.ceil(len(g) / batch_size)) for g in groups
                           if len(g)) // max(num_shards, 1)

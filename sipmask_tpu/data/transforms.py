@@ -226,12 +226,16 @@ class TrainTransform:
         masks (N, H, W) uint8."""
         cfg = self.cfg
         rng = self.rng
-        img = img.astype(np.float32)
         ori_shape = img.shape[:2]
         boxes = boxes.astype(np.float32).copy()
         labels = labels.copy()
 
         if cfg.ssd_augs:
+            # the SSD recipes load to_float32=True and resize FLOAT; the
+            # keep-ratio recipes load uint8 (LoadImageFromFile default)
+            # and mmcv resizes the UINT8 image (rounding) before
+            # Normalize - so only cast up front here
+            img = img.astype(np.float32)
             img = photometric_distortion(img, rng)
             img, boxes, masks = expand(img, boxes, masks, rng, self.mean)
             img, boxes, labels, masks = min_iou_random_crop(
@@ -270,7 +274,9 @@ class TrainTransform:
         else:
             flip = False
 
-        if flip:  # flipped view -> materialize once, then normalize in place
+        if img.dtype != np.float32:
+            img = img.astype(np.float32)  # copies (materializes any flip)
+        elif flip:  # flipped view -> materialize once, normalize in place
             img = np.ascontiguousarray(img)
         img -= self.mean
         img /= self.std
@@ -330,7 +336,8 @@ class TestTransform:
 
     def __call__(self, img, image_id=-1) -> Sample:
         cfg = self.cfg
-        img = img.astype(np.float32)
+        # every reference test pipeline loads uint8 (no to_float32), so
+        # the resize runs on the original dtype; normalize casts after
         ori_shape = img.shape[:2]
         h, w = ori_shape
         if cfg.fixed_size is not None:
@@ -345,7 +352,7 @@ class TestTransform:
         else:
             sx = sy = imrescale_factor(h, w, cfg.img_scale)
         img = resize_image(img, out_h, out_w)
-        img = (img - self.mean) / self.std
+        img = (img.astype(np.float32) - self.mean) / self.std
         pad_h, pad_w = self.bucket_shape(landscape)
         canvas = np.zeros((pad_h, pad_w, 3), np.float32)
         canvas[:out_h, :out_w] = img[:pad_h, :pad_w]
@@ -381,8 +388,10 @@ class VISPairTransform:
 
     def __call__(self, pair: dict) -> dict:
         cfg, rng = self.cfg, self.rng
-        img = pair["img"].astype(np.float32)
-        ref = pair["ref_img"].astype(np.float32)
+        # mmcv.imread feeds ImageTransform uint8; imrescale runs on uint8
+        # and imnormalize casts f32 AFTER the resize (VIS transforms.py:31-40)
+        img = pair["img"]
+        ref = pair["ref_img"]
         boxes, labels, masks = pair["boxes"], pair["labels"], pair["masks"]
         rboxes, rlabels = pair["ref_boxes"].copy(), pair["ref_labels"]
         h, w = img.shape[:2]
@@ -416,8 +425,8 @@ class VISPairTransform:
                 bb[:, 0] = out_w - bb[:, 2] - 1
                 bb[:, 2] = out_w - x1 - 1
 
-        img = (img - self.mean) / self.std
-        ref = (ref - self.mean) / self.std
+        img = (img.astype(np.float32) - self.mean) / self.std
+        ref = (ref.astype(np.float32) - self.mean) / self.std
         pad_h, pad_w = self.bucket_shape(landscape)
         can = np.zeros((pad_h, pad_w, 3), np.float32)
         can[:out_h, :out_w] = img[:pad_h, :pad_w]
@@ -442,11 +451,13 @@ class VISPairTransform:
             gm[i] = cv2.resize(mp, (mw, mh),
                                interpolation=cv2.INTER_LINEAR) > 0.5
 
-        # host-side ref box jitter (cx,cy +- 5% wh; wh * (1 +- 5%))
+        # host-side ref box jitter (ytvos.py bbox_aug analog); amp=0 (the
+        # reference default, aug_ref_bbox_param=None) draws NOTHING so the
+        # rng stream stays aligned with the reference's
         nr = min(len(rboxes), g)
-        off = self.rng.uniform(-self.amp, self.amp, (max(nr, 1), 4))
         rj = rboxes[:nr].copy()
-        if nr:
+        if nr and self.amp:
+            off = self.rng.uniform(-self.amp, self.amp, (nr, 4))
             cxcy = (rj[:, 2:] + rj[:, :2]) / 2
             wh = np.abs(rj[:, 2:] - rj[:, :2])
             ncxcy = cxcy + wh * off[:nr, :2]

@@ -658,7 +658,9 @@ class TestKeepRatioPipelineParity:
         return img, boxes, labels, masks
 
     def _ref_pipeline(self, T, img, boxes, masks, scale, flip_ratio):
-        res = dict(img=img.astype(np.float32), gt_bboxes=boxes.copy(),
+        # uint8 in: the hi-acc configs use plain LoadImageFromFile
+        # (to_float32 defaults False), so mmcv resizes the UINT8 image
+        res = dict(img=img.copy(), gt_bboxes=boxes.copy(),
                    gt_masks=masks.copy(), bbox_fields=["gt_bboxes"],
                    mask_fields=["gt_masks"], seg_fields=[])
         res = T.Resize(img_scale=[scale], keep_ratio=True)(res)
