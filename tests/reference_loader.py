@@ -759,3 +759,56 @@ def load_reference_transforms():
                      f"{REF_MMDET}/mmdet/datasets/pipelines/transforms.py")
     _cache["aug_transforms"] = mod
     return mod
+
+
+def soft_nms_cpu_oracle(dets, iou_thr, method="linear", sigma=0.5,
+                        min_score=1e-3):
+    """Pure-numpy transcription of the reference's soft_nms_cpu_kernel
+    (mmdet/ops/nms/src/nms_cpu.cpp:71-200) — TEST ORACLE ONLY.
+
+    dets: (N, 5) [x1, y1, x2, y2, score] f32. Returns (dets_out, inds)
+    where dets_out rows are the surviving detections in pick order with
+    their decayed scores (the kernel's result[:, :5]) and inds the
+    original indices (result[:, 5])."""
+    import numpy as np
+    dets = dets.astype(np.float32).copy()
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    scores = dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    ndets = len(dets)
+    inds = np.arange(ndets, dtype=np.float32)
+    method_code = {"linear": 1, "gaussian": 2, "naive": 0}[method]
+
+    i = 0
+    while i < ndets:
+        max_pos = i + int(np.argmax(scores[i:ndets]))
+        for arr in (x1, y1, x2, y2, scores, areas, inds):
+            arr[i], arr[max_pos] = arr[max_pos], arr[i]
+        ix1, iy1, ix2, iy2, iarea = x1[i], y1[i], x2[i], y2[i], areas[i]
+        pos = i + 1
+        while pos < ndets:
+            xx1 = max(ix1, x1[pos]); yy1 = max(iy1, y1[pos])
+            xx2 = min(ix2, x2[pos]); yy2 = min(iy2, y2[pos])
+            w = max(np.float32(0), xx2 - xx1 + 1)
+            h = max(np.float32(0), yy2 - yy1 + 1)
+            inter = w * h
+            ovr = inter / (iarea + areas[pos] - inter)
+            weight = np.float32(1.0)
+            if method_code == 1:
+                if ovr > iou_thr:
+                    weight = np.float32(1.0) - ovr
+            elif method_code == 2:
+                weight = np.exp(-(ovr * ovr) / np.float32(sigma))
+            else:
+                weight = np.float32(0.0 if ovr > iou_thr else 1.0)
+            scores[pos] = weight * scores[pos]
+            if scores[pos] < min_score:
+                last = ndets - 1
+                for arr in (x1, y1, x2, y2, scores, areas, inds):
+                    arr[pos] = arr[last]
+                ndets -= 1
+                pos -= 1
+            pos += 1
+        i += 1
+    out = np.stack([x1, y1, x2, y2, scores], 1)[:ndets]
+    return out, inds[:ndets].astype(np.int64)

@@ -794,3 +794,39 @@ class TestMsRangeScaleParity:
             got = sample_ms_scale(tuple(scales), "range",
                                   np.random.RandomState(seed))
             assert tuple(got) == tuple(want)
+
+
+class TestSoftNmsParity:
+    """soft_nms vs a numpy transcription of the reference's
+    soft_nms_cpu_kernel (nms_cpu.cpp:71-200): pick order, surviving
+    indices, and decayed scores, for both linear and gaussian decay."""
+
+    @staticmethod
+    def _dets(seed, n=60):
+        r = np.random.RandomState(seed)
+        x1 = r.uniform(0, 80, n).astype(np.float32)
+        y1 = r.uniform(0, 80, n).astype(np.float32)
+        wb = r.uniform(5, 40, n).astype(np.float32)
+        hb = r.uniform(5, 40, n).astype(np.float32)
+        scores = r.uniform(0.05, 1.0, n).astype(np.float32)
+        return np.stack([x1, y1, x1 + wb, y1 + hb, scores], 1)
+
+    @pytest.mark.parametrize("method", ["linear", "gaussian"])
+    def test_pick_order_scores_match(self, method):
+        import jax.numpy as jnp
+        from reference_loader import soft_nms_cpu_oracle
+        from sipmask_tpu.ops.nms import soft_nms
+        for seed in range(6):
+            dets = self._dets(seed)
+            want, want_inds = soft_nms_cpu_oracle(
+                dets, iou_thr=0.3, method=method)
+            keep, ks, valid = soft_nms(
+                jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                iou_thr=0.3, max_out=len(dets), method=method)
+            keep = np.asarray(keep)[np.asarray(valid)]
+            ks = np.asarray(ks)[np.asarray(valid)]
+            m = min(len(keep), len(want_inds))
+            assert m > 5
+            np.testing.assert_array_equal(keep[:m], want_inds[:m])
+            np.testing.assert_allclose(ks[:m], want[:m, 4], rtol=2e-5,
+                                       atol=1e-6)
