@@ -830,3 +830,39 @@ class TestSoftNmsParity:
             np.testing.assert_array_equal(keep[:m], want_inds[:m])
             np.testing.assert_allclose(ks[:m], want[:m, 4], rtol=2e-5,
                                        atol=1e-6)
+
+
+class TestMsTrainPipelineParity:
+    """Multi-scale keep-ratio TRAIN pipeline end-to-end vs the reference
+    classes: Resize draws (long, short) via random_sample, then RandomFlip
+    draws — our TrainTransform consumes the rng in the same order, so
+    image/boxes stay bit-equal across seeds."""
+
+    MEAN = (102.9801, 115.9465, 122.7717)
+
+    def test_ms_range_pipeline_parity(self):
+        from reference_loader import load_reference_transforms
+        from sipmask_tpu.config import DataConfig
+        from sipmask_tpu.data.transforms import TrainTransform
+        T = load_reference_transforms()
+        scales = [(320, 200), (400, 256)]
+        for seed in range(8):
+            img, boxes, labels, masks = \
+                TestKeepRatioPipelineParity._inputs(seed)
+            np.random.seed(seed)
+            res = dict(img=img.copy(), gt_bboxes=boxes.copy(),
+                       gt_masks=masks.copy(), bbox_fields=["gt_bboxes"],
+                       mask_fields=["gt_masks"], seg_fields=[])
+            res = T.Resize(img_scale=scales, keep_ratio=True)(res)
+            res = T.RandomFlip(flip_ratio=0.5)(res)
+            res = T.Normalize(mean=self.MEAN, std=(1, 1, 1),
+                              to_rgb=False)(res)
+            res = T.Pad(size_divisor=32)(res)
+            cfg = DataConfig(img_scale=scales[0], ms_scales=tuple(scales),
+                             mean=self.MEAN, max_gts=8, flip_ratio=0.5)
+            s = TrainTransform(cfg, seed=seed)(img, boxes, labels, masks)
+            rh, rw = res["img"].shape[:2]
+            np.testing.assert_array_equal(s.image[:rh, :rw], res["img"])
+            n = len(res["gt_bboxes"])
+            np.testing.assert_array_equal(s.gt_bboxes[:n], res["gt_bboxes"])
+            assert s.scale_factor[0] == np.float32(res["scale_factor"])
