@@ -72,14 +72,19 @@ def _train_path(cfg, b, h, w):
     model, state, tx = create_train_state(
         cfg, jax.random.PRNGKey(0), jnp.asarray(batch_np["images"][:1]),
         steps_per_epoch=1000)
-    step_fn = make_train_step(model, tx, cfg, donate=False)
+    # production-shaped step: donated state carried through the loop
+    # (apis/train.py trains with make_train_step's donate=True default)
+    step_fn = make_train_step(model, tx, cfg)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-    def train_once(state, batch):
-        _, metrics = step_fn(state, batch)
-        return metrics
-
-    return _timeit(train_once, state, batch)
+    iters = 20
+    state, metrics = step_fn(state, batch)  # compile + warmup
+    jax.block_until_ready((state.params, metrics))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready((state.params, metrics))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():

@@ -91,14 +91,20 @@ def main():
         model, state, tx = create_train_state(
             cfg, jax.random.PRNGKey(0), jnp.asarray(batch_np["images"][:1]),
             steps_per_epoch=1000)
-        step_fn = make_train_step(model, tx, cfg, donate=False)
+        # production-shaped step: donated state carried through the loop
+        # (apis/train.py trains with make_train_step's donate=True default)
+        step_fn = make_train_step(model, tx, cfg)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-        def train_once(state, batch):
-            new_state, metrics = step_fn(state, batch)
-            return metrics
-
-        t = timeit(train_once, state, batch)
+        import time as _time
+        iters = 20
+        state, metrics = step_fn(state, batch)  # compile + warmup
+        jax.block_until_ready((state.params, metrics))
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready((state.params, metrics))
+        t = (_time.perf_counter() - t0) / iters
         print(json.dumps(dict(metric="train_images_per_sec",
                               config=args.config, batch=b, hw=[h, w],
                               ms_per_step=round(t * 1e3, 2),

@@ -169,12 +169,16 @@ def main():
         model, state, tx = create_train_state(
             cfg, jax.random.PRNGKey(0), jnp.asarray(batch_np["images"][:1]),
             steps_per_epoch=1000)
-        step_fn = make_train_step(model, tx, cfg, donate=False)
+        # production-shaped step: donated state carried across run() calls
+        # (apis/train.py trains with make_train_step's donate=True default)
+        step_fn = make_train_step(model, tx, cfg)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state_box = [state]
 
         def run():
-            _, metrics = step_fn(state, batch)
-            jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+            new_state, metrics = step_fn(state_box[0], batch)
+            state_box[0] = new_state
+            jax.block_until_ready((new_state.params, metrics))
 
     run()  # compile
     run()  # warm
