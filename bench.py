@@ -6,6 +6,14 @@ the LAST line: {"metric", "value", "unit", "vs_baseline", "extra"} where
 so the driver's parsed record carries every path, not just the RT
 inference number (VERDICT r2 weak item 5).
 
+Dispersion (VERDICT r3 weak item 3): every row is the MEDIAN of
+SIPMASK_BENCH_REPS (default 5) independent SIPMASK_BENCH_ITERS-iteration
+timed runs; the emitted row carries `ms` (median), `ms_iqr`
+(75th-25th percentile across reps) and the top-level record carries the
+host 1-min load average plus a `contended` flag so cross-round deltas can
+be judged against the measured spread instead of the ~15% cross-day
+tunnel variance (docs/KERNEL_NOTES.md, negative result #4).
+
 Baseline: the reference real-time SipMask reports ~30 fps on a V100-class
 GPU (arXiv 2007.14772; repo README has no fps numbers). vs_baseline is
 RT-inference images/sec/chip divided by that 30 fps.
@@ -24,20 +32,29 @@ import numpy as np
 FWD_GFLOPS = {"rt": 112.82, "rt576": 126.51, "hiacc": 479.37}
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e
 
+REPS = int(os.environ.get("SIPMASK_BENCH_REPS", "5"))
+ITERS = int(os.environ.get("SIPMASK_BENCH_ITERS", "20"))
 
-def _timeit(f, *a, iters=20):
-    import jax
-    import jax.numpy as jnp
-    out = f(*a)
-    jax.block_until_ready(out)
-    first = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(first.astype(jnp.float32)))  # force a host fetch
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*a)
-    first = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(first.astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters
+
+def _stats(per_iter_secs):
+    """Median + IQR (in seconds/iter) across independent timed reps."""
+    ts = np.asarray(per_iter_secs, np.float64)
+    med = float(np.median(ts))
+    iqr = float(np.percentile(ts, 75) - np.percentile(ts, 25))
+    return med, iqr
+
+
+def _measure(run_iters):
+    """run_iters(n) executes n iterations and must only return after the
+    final result is fetched to host (so async-future backends can't lie).
+    Returns (median, iqr) seconds per iteration over REPS reps."""
+    run_iters(1)  # compile + warmup
+    samples = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run_iters(ITERS)
+        samples.append((time.perf_counter() - t0) / ITERS)
+    return _stats(samples)
 
 
 def _infer_path(cfg, b, h, w):
@@ -59,7 +76,15 @@ def _infer_path(cfg, b, h, w):
         d["masks"] = d["masks"] > cfg.model.test.mask_thr
         return d
 
-    return _timeit(infer, variables, images)
+    def run_iters(n):
+        out = None
+        for _ in range(n):
+            out = infer(variables, images)
+        jax.block_until_ready(out)
+        first = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(first.astype(jnp.float32)))  # force a host fetch
+
+    return _measure(run_iters)
 
 
 def _train_path(cfg, b, h, w):
@@ -76,15 +101,16 @@ def _train_path(cfg, b, h, w):
     # (apis/train.py trains with make_train_step's donate=True default)
     step_fn = make_train_step(model, tx, cfg)
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    carry = {"state": state}
 
-    iters = 20
-    state, metrics = step_fn(state, batch)  # compile + warmup
-    jax.block_until_ready((state.params, metrics))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready((state.params, metrics))
-    return (time.perf_counter() - t0) / iters
+    def run_iters(n):
+        metrics = None
+        for _ in range(n):
+            carry["state"], metrics = step_fn(carry["state"], batch)
+        jax.block_until_ready((carry["state"].params, metrics))
+        float(metrics["loss_total"])  # force a host fetch
+
+    return _measure(run_iters)
 
 
 def main():
@@ -92,6 +118,8 @@ def main():
     from sipmask_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    load_start = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
     rt = _r(get_config("sipmask_r50_fpn_ssd_6x"), "model",
             compute_dtype="bfloat16")
     hi = _r(get_config("sipmask_r50_fpn_gn_1x"), "model",
@@ -107,19 +135,30 @@ def main():
                  "hiacc", 1.0),
                 ("hiacc_train_800x1344_bs4", hi, "train", 4, 800, 1344,
                  "hiacc", 3.0)):
-            t = (_train_path if mode == "train" else _infer_path)(
+            t, iqr = (_train_path if mode == "train" else _infer_path)(
                 cfg, b, h, w)
             ips = b / t
             mfu = ips * FWD_GFLOPS[key] * fmul / (PEAK_BF16_TFLOPS * 1e3)
             row = dict(images_per_sec=round(ips, 2),
-                       ms=round(t * 1e3, 2), mfu=round(mfu, 3))
+                       ms=round(t * 1e3, 2), ms_iqr=round(iqr * 1e3, 2),
+                       mfu=round(mfu, 3))
             extra[name] = row
             print(json.dumps(dict(metric=name, **row)))
 
-    t = _infer_path(rt, 8, 544, 544)
+    t, iqr = _infer_path(rt, 8, 544, 544)
     ips = 8 / t
+    extra["rt_infer_ms_iqr"] = round(iqr * 1e3, 2)
     extra["rt_infer_mfu"] = round(
         ips * FWD_GFLOPS["rt"] / (PEAK_BF16_TFLOPS * 1e3), 3)
+    load_end = os.getloadavg()[0]
+    extra["dispersion"] = dict(
+        reps=REPS, iters=ITERS, ncpu=ncpu,
+        loadavg_start=round(load_start, 2), loadavg_end=round(load_end, 2),
+        # dispatch is host-CPU-driven; a busy host (e.g. a concurrent
+        # pytest mesh suite) visibly perturbs dispatch-bound paths. The
+        # bench process itself accounts for ~1 runnable task, so flag
+        # only when there is MORE than our own load on the host.
+        contended=bool(max(load_start, load_end) > ncpu + 0.5))
     print(json.dumps({
         "metric": "sipmask_rt_544_images_per_sec_per_chip",
         "value": round(ips, 2),

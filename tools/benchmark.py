@@ -96,15 +96,16 @@ def main():
         step_fn = make_train_step(model, tx, cfg)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
 
-        import time as _time
-        iters = 20
         state, metrics = step_fn(state, batch)  # compile + warmup
         jax.block_until_ready((state.params, metrics))
-        t0 = _time.perf_counter()
-        for _ in range(iters):
+        # force a host fetch so async-future backends can't lie
+        float(metrics["loss_total"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
             state, metrics = step_fn(state, batch)
         jax.block_until_ready((state.params, metrics))
-        t = (_time.perf_counter() - t0) / iters
+        float(metrics["loss_total"])
+        t = (time.perf_counter() - t0) / args.iters
         print(json.dumps(dict(metric="train_images_per_sec",
                               config=args.config, batch=b, hw=[h, w],
                               ms_per_step=round(t * 1e3, 2),
