@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import conv_init, max_pool, repeat2d
+from .layers import conv_init, max_pool, relu, repeat2d
 
 
 class NonLocal2D(nn.Module):
@@ -75,7 +75,7 @@ class BFP(nn.Module):
                 gathered.append(f)
         bsf = sum(gathered) / n
         if self.refine_type == "conv":
-            bsf = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1,
+            bsf = relu(nn.Conv(self.out_channels, (3, 3), padding=1,
                                   kernel_init=conv_init("xavier"),
                                   dtype=self.dtype, name="refine")(bsf))
         elif self.refine_type == "non_local":

@@ -13,7 +13,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import conv_init, resize_nearest
+from .layers import conv_init, relu, resize_nearest
 
 
 class FPN(nn.Module):
@@ -52,7 +52,7 @@ class FPN(nn.Module):
             src = inputs[-1] if self.extra_convs_on_inputs else outs[-1]
             for i in range(n, self.num_outs):
                 if i > n and self.relu_before_extra_convs:
-                    src = nn.relu(src)
+                    src = relu(src)
                 src = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                               padding=1, use_bias=True,
                               kernel_init=conv_init("xavier"),

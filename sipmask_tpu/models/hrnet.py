@@ -17,7 +17,8 @@ from typing import Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, conv_init, repeat2d, resize_bilinear
+from .layers import (FrozenBatchNorm, conv_init, relu, repeat2d,
+                     resize_bilinear)
 from .resnet import Bottleneck
 
 HRNET_WIDTHS = {18: (18, 36, 72, 144), 32: (32, 64, 128, 256),
@@ -36,7 +37,7 @@ class BasicBlock(nn.Module):
         out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                       kernel_init=conv_init("kaiming"), dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.features, name="bn1")(out))
+        out = relu(FrozenBatchNorm(self.features, name="bn1")(out))
         out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                       kernel_init=conv_init("kaiming"), dtype=self.dtype,
                       name="conv2")(out)
@@ -47,7 +48,7 @@ class BasicBlock(nn.Module):
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = FrozenBatchNorm(self.features,
                                        name="downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return relu(out + identity)
 
 
 class FuseUnit(nn.Module):
@@ -88,9 +89,9 @@ class FuseUnit(nn.Module):
                                     name=f"down_{j}_{i}_{s}_conv")(y)
                         y = FrozenBatchNorm(ch, name=f"down_{j}_{i}_{s}_bn")(y)
                         if not last:
-                            y = nn.relu(y)
+                            y = relu(y)
                 acc = acc + y
-            outs.append(nn.relu(acc))
+            outs.append(relu(acc))
         return outs
 
 
@@ -124,7 +125,7 @@ class HRNet(nn.Module):
             x = nn.Conv(64, (3, 3), strides=(2, 2), padding=1,
                         use_bias=False, kernel_init=conv_init("kaiming"),
                         dtype=self.dtype, name=f"stem_conv{i}")(x)
-            x = nn.relu(FrozenBatchNorm(64, name=f"stem_bn{i}")(x))
+            x = relu(FrozenBatchNorm(64, name=f"stem_bn{i}")(x))
         # stage 1: 4 Bottlenecks at 64 planes (256 out channels)
         for b in range(4):
             x = Bottleneck(64, downsample=(b == 0), style="pytorch",
@@ -144,7 +145,7 @@ class HRNet(nn.Module):
                                     kernel_init=conv_init("kaiming"),
                                     dtype=self.dtype,
                                     name=f"t{stage}_conv{i}")(y)
-                        y = nn.relu(FrozenBatchNorm(
+                        y = relu(FrozenBatchNorm(
                             ws[i], name=f"t{stage}_bn{i}")(y))
                 else:  # new lower-resolution branch from the lowest existing
                     y = nn.Conv(ws[i], (3, 3), strides=(2, 2), padding=1,
@@ -152,7 +153,7 @@ class HRNet(nn.Module):
                                 kernel_init=conv_init("kaiming"),
                                 dtype=self.dtype, name=f"t{stage}_new{i}")(
                                     xs[-1])
-                    y = nn.relu(FrozenBatchNorm(
+                    y = relu(FrozenBatchNorm(
                         ws[i], name=f"t{stage}_newbn{i}")(y))
                 new_xs.append(y)
             xs = new_xs

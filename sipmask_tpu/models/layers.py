@@ -6,11 +6,38 @@ TPU-native equivalents of the reference's ConvModule/Scale/norm builder
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+@jax.custom_vjp
+def relu(x):
+    """ReLU whose VJP keys off the OUTPUT instead of a saved `x > 0` pred.
+
+    jax.nn.relu's autodiff saves a bool mask per call; on TPU those pred
+    residuals cost a write + a (often relayouted) read per site (~2 ms/step
+    of pure `copy` in the hi-acc train profile). The output y is already a
+    residual of the next layer (conv/GN input), so saving y instead is free
+    after CSE, and `dy * (y > 0)` is exact: y > 0 iff x > 0, and the
+    gradient at x == 0 is 0 either way (jax.nn.relu's convention).
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, dy):
+    return (jnp.where(y > 0, dy, jnp.zeros_like(dy)),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
 
 
 def repeat2d(x, f: int):
@@ -56,19 +83,7 @@ class Scale(nn.Module):
         return x * s.astype(x.dtype)
 
 
-def group_norm_nhwc(x, scale, bias, groups: int, eps: float):
-    """GroupNorm over NHWC without materializing the (B,H,W,G,C/G) view.
-
-    flax's nn.GroupNorm reshapes the activation into the grouped form, which
-    on TPU materializes a relayouted f32 copy per call (~4.7 ms/step across
-    the 587 GN sites of the hi-acc train profile). This formulation keeps
-    every large tensor in its native NHWC layout: one fused pass produces
-    per-(image, channel) sum and sum-of-squares, the (B, C) -> (B, G) group
-    reduce is trivial, and mean/rstd fold into a per-channel affine so the
-    apply is a single elementwise pass (which XLA fuses into the following
-    ReLU/conv). Same single-pass variance as flax's use_fast_variance
-    default; stats in f32.
-    """
+def _gn_fwd_impl(x, scale, bias, groups: int, eps: float):
     b, h, w, c = x.shape
     cg = c // groups
     xf = x.astype(jnp.float32)
@@ -83,7 +98,71 @@ def group_norm_nhwc(x, scale, bias, groups: int, eps: float):
     sc = (rstd[:, :, None] * g_sc).reshape(b, c)
     bi = (g_bi - (mean * rstd)[:, :, None] * g_sc).reshape(b, c)
     y = xf * sc[:, None, None, :] + bi[:, None, None, :]
-    return y.astype(x.dtype)
+    return y.astype(x.dtype), mean, rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def group_norm_nhwc(x, scale, bias, groups: int, eps: float):
+    """GroupNorm over NHWC without materializing the (B,H,W,G,C/G) view.
+
+    flax's nn.GroupNorm reshapes the activation into the grouped form, which
+    on TPU materializes a relayouted f32 copy per call (~4.7 ms/step across
+    the 587 GN sites of the hi-acc train profile). This formulation keeps
+    every large tensor in its native NHWC layout: one fused pass produces
+    per-(image, channel) sum and sum-of-squares, the (B, C) -> (B, G) group
+    reduce is trivial, and mean/rstd fold into a per-channel affine so the
+    apply is a single elementwise pass (which XLA fuses into the following
+    ReLU/conv). Same single-pass variance as flax's use_fast_variance
+    default; stats in f32.
+
+    The VJP is hand-written: autodiff of the formula above keeps the f32
+    upcast of the activation (plus its relayout copies) alive as a residual
+    and differentiates through the stats chain pass by pass. The custom
+    backward saves only (x, mean, rstd), recomputes xhat on the fly, and is
+    two fused passes over the big tensors: one (read dy, x) reduction
+    producing all per-(B,C)/per-channel sums, one elementwise
+    `dx = A*dy + B*x + C` apply with per-(B,C) coefficients.
+    """
+    y, _, _ = _gn_fwd_impl(x, scale, bias, groups, eps)
+    return y
+
+
+def _gn_vjp_fwd(x, scale, bias, groups, eps):
+    y, mean, rstd = _gn_fwd_impl(x, scale, bias, groups, eps)
+    return y, (x, scale, mean, rstd)
+
+
+def _gn_vjp_bwd(groups, eps, res, dy):
+    x, scale, mean, rstd = res
+    b, h, w, c = x.shape
+    cg = c // groups
+    n = float(h * w * cg)
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    r1 = dyf.sum(axis=(1, 2))          # (B, C); both reductions fuse into
+    r2 = (dyf * xf).sum(axis=(1, 2))   # one read of (dy, x)
+    scf = scale.astype(jnp.float32)
+    mean_c = jnp.repeat(mean, cg, axis=1)   # (B, C) — tiny
+    rstd_c = jnp.repeat(rstd, cg, axis=1)
+    sdx = (r2 - mean_c * r1) * rstd_c       # sum_{hw} dy*xhat per (B, C)
+    dscale = sdx.sum(axis=0)
+    dbias = r1.sum(axis=0)
+    # group means of dxhat and dxhat*xhat (dxhat = dy * scale_c)
+    m1 = (r1 * scf).reshape(b, groups, cg).sum(-1) / n    # (B, G)
+    m2 = (sdx * scf).reshape(b, groups, cg).sum(-1) / n   # (B, G)
+    m1_c = jnp.repeat(m1, cg, axis=1)
+    m2_c = jnp.repeat(m2, cg, axis=1)
+    # dx = rstd*(dxhat - m1 - xhat*m2) folded to one affine in (dy, x)
+    a = rstd_c * scf[None, :]
+    b2 = -(rstd_c * rstd_c) * m2_c
+    c2 = rstd_c * (mean_c * rstd_c * m2_c - m1_c)
+    dx = (a[:, None, None, :] * dyf + b2[:, None, None, :] * xf
+          + c2[:, None, None, :])
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+group_norm_nhwc.defvjp(_gn_vjp_fwd, _gn_vjp_bwd)
 
 
 class GroupNorm32(nn.Module):
@@ -132,7 +211,7 @@ class ConvModule(nn.Module):
         if self.norm == "gn":
             x = GroupNorm32(num_groups=32, epsilon=1e-5, name="gn")(x)
         if self.act:
-            x = nn.relu(x)
+            x = relu(x)
         return x
 
 

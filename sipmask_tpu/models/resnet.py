@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, conv_init, max_pool
+from .layers import FrozenBatchNorm, conv_init, max_pool, relu
 from ..ops.deform_conv import deform_conv2d
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
@@ -78,7 +78,7 @@ class Bottleneck(nn.Module):
         out = nn.Conv(width, (1, 1), strides=(conv1_stride,) * 2,
                       use_bias=False, kernel_init=conv_init("kaiming"),
                       dtype=self.dtype, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(width, name="bn1")(out))
+        out = relu(FrozenBatchNorm(width, name="bn1")(out))
 
         if self.with_dcn:
             assert self.groups == 1, "DCN + grouped conv not supported"
@@ -92,7 +92,7 @@ class Bottleneck(nn.Module):
                           feature_group_count=self.groups,
                           kernel_init=conv_init("kaiming"),
                           dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(FrozenBatchNorm(width, name="bn2")(out))
+        out = relu(FrozenBatchNorm(width, name="bn2")(out))
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       kernel_init=conv_init("kaiming"),
@@ -106,7 +106,7 @@ class Bottleneck(nn.Module):
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = FrozenBatchNorm(self.planes * 4,
                                        name="downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return relu(out + identity)
 
 
 class ResNet(nn.Module):
@@ -129,7 +129,7 @@ class ResNet(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=conv_init("kaiming"), dtype=self.dtype,
                     name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(64, name="bn1")(x))
+        x = relu(FrozenBatchNorm(64, name="bn1")(x))
         x = max_pool(x, 3, 2, padding=1)
         if self.frozen_stages >= 1:
             x = jax.lax.stop_gradient(x)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import (ConvModule, GroupNorm32, Scale, conv_init,
+from .layers import (ConvModule, GroupNorm32, Scale, conv_init, relu,
                      bias_init_with_prob, resize_bilinear)
 from ..ops.deform_conv import deform_conv2d
 from ..config import HeadConfig
@@ -52,7 +52,7 @@ class FeatureAlign(nn.Module):
                           padding=1, deform_groups=self.deform_groups)
         if self.with_norm:
             x = GroupNorm32(num_groups=32, epsilon=1e-5, name="norm")(x)
-        return nn.relu(x).astype(self.dtype)
+        return relu(x).astype(self.dtype)
 
 
 class RescoringHead(nn.Module):
@@ -71,11 +71,11 @@ class RescoringHead(nn.Module):
             x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
                         use_bias=True, kernel_init=conv_init("kaiming"),
                         dtype=self.dtype, name=f"convs_scoring_{i}")(x)
-            x = nn.relu(x)
+            x = relu(x)
         x = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                     kernel_init=conv_init("normal0.001"),
                     dtype=self.dtype, name="mask_scoring")(x)
-        x = nn.relu(x)
+        x = relu(x)
         return x.max(axis=(1, 2))  # global max pool -> (N, C)
 
 
@@ -170,7 +170,7 @@ class SipMaskHead(nn.Module):
         lat = nn.Conv(c.num_bases, (3, 3), padding=1,
                       kernel_init=conv_init("normal0.01"),
                       dtype=self.dtype, name="sip_mask_lat")
-        fm = nn.relu(lat(nn.relu(lat0(fm))))
+        fm = relu(lat(relu(lat0(fm))))
         h0, w0 = fm.shape[1:3]
         feat_masks = resize_bilinear(fm, h0 * 4, w0 * 4)
 

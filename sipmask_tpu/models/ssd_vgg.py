@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import conv_init, max_pool
+from .layers import conv_init, max_pool, relu
 
 VGG16_STAGES = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
 
@@ -67,7 +67,7 @@ class SSDVGG(nn.Module):
                             kernel_init=conv_init("kaiming"),
                             dtype=self.dtype,
                             name=f"conv{si + 1}_{ci + 1}")(x)
-                x = nn.relu(x)
+                x = relu(x)
             if si == 3:  # conv4_3 output (before pool4)
                 tap = x
             if si < 4:
@@ -75,10 +75,10 @@ class SSDVGG(nn.Module):
             else:  # pool5: 3x3 stride 1 (SSD modification, :54-57)
                 x = max_pool(x, 3, 1, padding=1)
         # dilated fc6 + fc7 (:58-65)
-        x = nn.relu(nn.Conv(1024, (3, 3), padding=6, kernel_dilation=(6, 6),
+        x = relu(nn.Conv(1024, (3, 3), padding=6, kernel_dilation=(6, 6),
                             kernel_init=conv_init("kaiming"),
                             dtype=self.dtype, name="fc6")(x))
-        x = nn.relu(nn.Conv(1024, (1, 1), kernel_init=conv_init("kaiming"),
+        x = relu(nn.Conv(1024, (1, 1), kernel_init=conv_init("kaiming"),
                             dtype=self.dtype, name="fc7")(x))
         outs = [L2Norm(name="l2norm")(tap), x]
 
@@ -103,12 +103,12 @@ class SSDVGG(nn.Module):
                 x = nn.Conv(v, (k, k), padding=0,
                             kernel_init=conv_init("xavier"),
                             dtype=self.dtype, name=f"extra{li}")(x)
-            x = nn.relu(x)
+            x = relu(x)
             if li % 2 == 1:
                 outs.append(x)
             li += 1
         if self.input_size == 512:  # final 4x4 conv (:133-134)
-            x = nn.relu(nn.Conv(256, (4, 4), padding=1,
+            x = relu(nn.Conv(256, (4, 4), padding=1,
                                 kernel_init=conv_init("xavier"),
                                 dtype=self.dtype, name=f"extra{li}")(x))
             if li % 2 == 1:

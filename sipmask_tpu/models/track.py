@@ -13,6 +13,15 @@ TPU re-design: the tracker memory is a fixed-capacity (max_tracks) array
 with an occupancy mask, carried functionally through the per-frame jitted
 step (lax-scan-friendly); the reference's Python-side mutation of
 ``self.prev_roi_feats`` becomes pure state threading.
+
+Capacity policy: the reference's memory is unbounded (sipmask_head.py:
+653-667 appends rows forever). A fixed-capacity TPU memory instead issues
+monotonically increasing object ids (``count``), and when every slot is
+occupied a NEW object EVICTS the least-recently-seen slot (slots matched
+by a detection in the current frame are protected from eviction).
+``overflow`` counts evictions so callers can detect that a crowded video
+exceeded capacity instead of silently diverging; ids of evicted objects
+are never reused.
 """
 
 from __future__ import annotations
@@ -94,11 +103,15 @@ def track_match_loss(outputs, batch, aux):
 # --------------------------------------------------------------- inference
 
 class TrackerState(NamedTuple):
-    feats: jnp.ndarray    # (M, 512)
-    boxes: jnp.ndarray    # (M, 5) xyxy+score, original-image coords
-    labels: jnp.ndarray   # (M,)
-    active: jnp.ndarray   # (M,) bool occupancy
-    count: jnp.ndarray    # () int32 — next free slot / number of ids issued
+    feats: jnp.ndarray      # (M, 512)
+    boxes: jnp.ndarray      # (M, 5) xyxy+score, original-image coords
+    labels: jnp.ndarray     # (M,)
+    active: jnp.ndarray     # (M,) bool occupancy
+    count: jnp.ndarray      # () int32 — number of object ids issued
+    ids: jnp.ndarray        # (M,) int32 — object id held by each slot
+    last_seen: jnp.ndarray  # (M,) int32 — frame of each slot's last write
+    frame: jnp.ndarray      # () int32 — frames processed
+    overflow: jnp.ndarray   # () int32 — LRU evictions (capacity exceeded)
 
 
 def tracker_init(max_tracks: int, feat_dim: int = 512) -> TrackerState:
@@ -107,7 +120,11 @@ def tracker_init(max_tracks: int, feat_dim: int = 512) -> TrackerState:
         boxes=jnp.zeros((max_tracks, 5)),
         labels=jnp.full((max_tracks,), -1, jnp.int32),
         active=jnp.zeros((max_tracks,), bool),
-        count=jnp.zeros((), jnp.int32))
+        count=jnp.zeros((), jnp.int32),
+        ids=jnp.full((max_tracks,), -1, jnp.int32),
+        last_seen=jnp.full((max_tracks,), -1, jnp.int32),
+        frame=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32))
 
 
 def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
@@ -117,7 +134,9 @@ def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
 
     det_boxes (D, 4) original coords; det_feats (D, 512) embeddings at box
     centers (input coords); is_first: () bool. Returns (new_state,
-    det_obj_ids (D,) int32, -1 for invalid dets).
+    det_obj_ids (D,) int32, -1 for invalid dets). Object ids are issued
+    monotonically and survive slot eviction (ids of evicted objects are
+    retired, never reused); ``new_state.overflow`` counts evictions.
     """
     m = state.feats.shape[0]
     d = det_boxes.shape[0]
@@ -142,17 +161,33 @@ def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
     match_ids = comp.argmax(1)  # (D,) 0 = new object
     match_vals = comp.max(1)
 
+    # slots matched by ANY valid detection this frame are protected from
+    # LRU eviction: their match targets were scored against the PRE-frame
+    # memory, so overwriting them mid-frame would hand a matched det the
+    # wrong (freshly issued) id
+    protected = jnp.zeros((m,), bool).at[
+        jnp.clip(match_ids - 1, 0, m - 1)].max(
+        det_valid & (match_ids > 0) & ~fresh)
+    far_future = jnp.int32(2 ** 30)
+
     def assign_det(i, carry):
         st, obj_ids, best = carry
         valid = det_valid[i]
         mid = match_ids[i]
         is_new = fresh | (mid == 0)
-        slot_new = jnp.minimum(st.count, m - 1)  # capacity guard
-        can_new = st.count < m
+        # new-object slot: first free slot, else evict the least-recently-
+        # seen unprotected slot (all-protected falls back to plain LRU)
+        any_free = ~st.active.all()
+        first_free = jnp.argmin(st.active)
+        evict_key = jnp.where(protected, far_future, st.last_seen)
+        evict_key = jnp.where(st.active, evict_key, far_future)
+        slot_new = jnp.where(any_free, first_free, jnp.argmin(evict_key))
+        evicts = is_new & ~any_free
         obj = jnp.where(is_new, slot_new, jnp.clip(mid - 1, 0, m - 1))
         better = (~is_new) & (match_vals[i] > best[jnp.clip(mid - 1, 0, m - 1)])
-        write = valid & (is_new & can_new | better)
-        obj_id = jnp.where(valid & (is_new & can_new | better), obj, -1)
+        write = valid & (is_new | better)
+        new_id = st.count  # ids issued monotonically, survive eviction
+        obj_id = jnp.where(write, jnp.where(is_new, new_id, st.ids[obj]), -1)
         # reference keeps the earlier det's id when outscored later; we mirror
         # that by only giving ids to (new | best-so-far) dets and letting the
         # host overwrite per-object output by detection order (:668-675)
@@ -167,7 +202,12 @@ def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
             boxes=st.boxes.at[obj].set(boxes),
             labels=st.labels.at[obj].set(labels),
             active=st.active.at[obj].set(st.active[obj] | write),
-            count=st.count + (valid & is_new & can_new).astype(jnp.int32))
+            count=st.count + (valid & is_new).astype(jnp.int32),
+            ids=st.ids.at[obj].set(
+                jnp.where(write & is_new, new_id, st.ids[obj])),
+            last_seen=st.last_seen.at[obj].set(
+                jnp.where(write, st.frame, st.last_seen[obj])),
+            overflow=st.overflow + (valid & evicts).astype(jnp.int32))
         best = best.at[jnp.clip(mid - 1, 0, m - 1)].set(
             jnp.where(better & valid, match_vals[i],
                       best[jnp.clip(mid - 1, 0, m - 1)]))
@@ -176,4 +216,5 @@ def tracker_step(state: TrackerState, det_boxes, det_scores, det_labels,
 
     init = (state, jnp.full((d,), -1, jnp.int32), jnp.full((m,), -100.0))
     new_state, obj_ids, _ = jax.lax.fori_loop(0, d, assign_det, init)
+    new_state = new_state._replace(frame=new_state.frame + 1)
     return new_state, obj_ids

@@ -249,3 +249,43 @@ class TestConfigSmoke:
             assert False
         except KeyError as e:
             assert "sipmask_r50_fpn_gn_1x" in str(e)
+
+
+class TestLayersVJP:
+    """Custom VJPs in models/layers.py vs plain autodiff of the same math."""
+
+    def test_group_norm_custom_vjp_matches_autodiff(self):
+        from sipmask_tpu.models.layers import group_norm_nhwc, _gn_fwd_impl
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 7, 9, 64).astype(np.float32))
+        sc = jnp.asarray(rng.randn(64).astype(np.float32))
+        bi = jnp.asarray(rng.randn(64).astype(np.float32))
+        dy = jnp.asarray(rng.randn(2, 7, 9, 64).astype(np.float32))
+        plain = lambda *a: _gn_fwd_impl(*a, 8, 1e-5)[0]  # autodiff path
+        custom = lambda *a: group_norm_nhwc(*a, 8, 1e-5)
+        y1, v1 = jax.vjp(plain, x, sc, bi)
+        y2, v2 = jax.vjp(custom, x, sc, bi)
+        np.testing.assert_allclose(y1, y2, atol=0, rtol=0)
+        for a, b, tol in zip(v1(dy), v2(dy), (1e-5, 1e-5, 1e-6)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=tol * float(jnp.abs(a).max()))
+
+    def test_group_norm_custom_vjp_bf16_input(self):
+        # bf16 activation, f32 params: cotangent dtypes must match inputs
+        from sipmask_tpu.models.layers import group_norm_nhwc
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 5, 6, 32), jnp.bfloat16)
+        sc = jnp.ones((32,), jnp.float32)
+        bi = jnp.zeros((32,), jnp.float32)
+        y, vjp = jax.vjp(lambda *a: group_norm_nhwc(*a, 4, 1e-5), x, sc, bi)
+        dx, dsc, dbi = vjp(jnp.ones_like(y))
+        assert dx.dtype == jnp.bfloat16
+        assert dsc.dtype == jnp.float32 and dbi.dtype == jnp.float32
+        assert np.isfinite(np.asarray(dx, np.float32)).all()
+
+    def test_relu_output_vjp_matches_jax_nn(self):
+        from sipmask_tpu.models.layers import relu
+        x = jnp.asarray(np.r_[-2.0, -0.0, 0.0, 0.5, 3.0], jnp.float32)
+        g1 = jax.grad(lambda t: jnp.sum(jax.nn.relu(t) * t))(x)
+        g2 = jax.grad(lambda t: jnp.sum(relu(t) * t))(x)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
