@@ -84,6 +84,12 @@ def run_video_inference(model, variables, cfg: SipMaskConfig, dataset,
                 score=float(np.mean(o["scores"])),
                 category_id=int(np.bincount(o["cats"]).argmax()) + 1,
                 segmentations=[o["segms"].get(fi) for fi in range(n_frames)]))
+        overflow = int(state.overflow)
+        if overflow:
+            print(f"  WARNING video {video_id}: tracker capacity "
+                  f"({max_tracks}) exceeded, {overflow} LRU eviction(s) — "
+                  "raise model.track.max_tracks for crowded videos",
+                  flush=True)
         if progress:
             print(f"  video {video_id}: {len(vid_objs)} tracks", flush=True)
     return results

@@ -129,39 +129,24 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
       scores: (N, C) per-foreground-class sigmoid scores.
       score_factors: (N,) multiplied into scores *after* thresholding on the
         raw score (bbox_nms.py:111,121-122).
-      pre_nms_top_n: static cap on (box, class) candidate pairs entering
-        the SOFT-NMS path only. The hard path (reference default) runs the
-        greedy loop over the full (N, C) matrix — every pair above
-        score_thr participates, exactly like the reference.
+      pre_nms_top_n: UNUSED, kept for config compatibility. Both the hard
+        and the soft path now run the greedy loop over the full (N, C)
+        matrix — every pair above score_thr participates, exactly like the
+        reference (no candidate cap anywhere).
       nms_type: 'nms' (hard, reference default) or 'soft_nms' (the config
         ``nms=dict(type='soft_nms')`` option).
     Returns dict with (all length max_per_img):
       boxes (max_per_img, 4), scores, labels (0-based), idxs (input row), valid.
     """
+    del pre_nms_top_n  # retired: both paths are uncapped now
     n, c = scores.shape
     eff = scores * score_factors[:, None] if score_factors is not None else scores
     valid = scores > score_thr  # raw-score threshold, as in the reference
     eff = jnp.where(valid, eff, NEG)
 
     if nms_type == "soft_nms":
-        flat = eff.reshape(-1)  # (N*C,) candidate (row, class) pairs
-        k = min(pre_nms_top_n, flat.shape[0])
-        top_scores, top_flat_idx = jax.lax.top_k(flat, k)
-        rows = top_flat_idx // c
-        cls = (top_flat_idx % c).astype(jnp.int32)
-        cand_boxes = boxes[rows]
-        keep, keep_scores, keep_valid = soft_nms(
-            cand_boxes, top_scores, iou_thr=iou_thr, max_out=max_per_img,
-            method=soft_method, sigma=soft_sigma, min_score=soft_min_score,
-            class_ids=cls)
-        safe = jnp.clip(keep, 0)
-        return dict(
-            boxes=cand_boxes[safe] * keep_valid[:, None],
-            scores=jnp.where(keep_valid, keep_scores, 0.0),
-            labels=jnp.where(keep_valid, cls[safe], -1),
-            idxs=jnp.where(keep_valid, rows[safe], 0).astype(jnp.int32),
-            valid=keep_valid,
-        )
+        return _multiclass_soft_nms(boxes, eff, iou_thr, max_per_img,
+                                    soft_method, soft_sigma, soft_min_score)
 
     # Hard NMS: WAVE-BATCHED greedy over the FULL (N, C) score matrix —
     # no candidate-pair cap at all. Per-class hard NMS is independent
@@ -229,6 +214,132 @@ def multiclass_nms_idx(boxes, scores, score_thr: float, iou_thr: float,
     acc_r0 = jnp.zeros((c, width), jnp.int32)
     _, acc_s, acc_r, _, _ = jax.lax.while_loop(
         cond, body, (eff.T, acc_s0, acc_r0,
+                     jnp.zeros((c,), jnp.int32), jnp.int32(0)))
+
+    ks, flat = jax.lax.top_k(acc_s.reshape(-1), max_per_img)
+    kr = acc_r.reshape(-1)[flat]
+    kc = jnp.where(ks > NEG / 2, (flat // width).astype(jnp.int32), -1)
+    keep_valid = ks > NEG / 2
+    return dict(
+        boxes=boxes[kr] * keep_valid[:, None],
+        scores=jnp.where(keep_valid, ks, 0.0),
+        labels=kc,
+        idxs=kr,
+        valid=keep_valid,
+    )
+
+
+def _multiclass_soft_nms(boxes, eff, iou_thr: float, max_per_img: int,
+                         method: str, sigma: float, min_score: float):
+    """Uncapped multiclass soft-NMS: wave-batched greedy over the FULL
+    (N, C) effective-score matrix (reference soft_nms_cpu.cpp applied
+    per class by multiclass_nms, bbox_nms.py:79-146).
+
+    Per-class soft NMS is independent across classes, and within a class
+    successive pick scores are non-increasing (a pick's score can only have
+    decayed since the previous pick, which was the max at its time) — so
+    per-class greedy + global top-``max_per_img`` merge is exactly the
+    reference's per-class-NMS → concat → sort semantics, same as the hard
+    path.
+
+    Wave batching with an exactness guard: take each class's top-``wave``
+    live candidates, then run the sequential soft-NMS recurrence INSIDE the
+    window. Out-of-window scores are frozen during the wave at their
+    pre-wave values, which upper-bound their true (possibly further
+    decayed) values; therefore an in-window pick whose decayed score
+    strictly beats the window's pre-wave lower edge is provably the class's
+    true next pick. The first pick of every wave is always exact (nothing
+    has decayed yet and the window holds the class maximum), so every wave
+    advances each live class by >= 1 pick and the loop terminates within
+    ``max_per_img`` iterations. Accumulated decay (multiplication commutes)
+    is applied to the full row at wave end.
+
+    Divergence from the CPU kernel, by design: candidates entering below
+    ``min_score`` are dropped up front; the kernel would let such a
+    candidate be picked if it happens before any same-class decay event.
+    Unreachable in practice because score_thr (0.025+) > min_score (1e-3)
+    unless score_factors push a candidate below 1e-3 — a detection that
+    scores out of any real top-100.
+    """
+    n, c = eff.shape
+    f = eff.dtype
+    wave = max(1, min(8, max_per_img, n))
+    width = max_per_img + wave
+    c_rows = jnp.arange(c, dtype=jnp.int32)[:, None]      # (C, 1)
+
+    def decay_of(ov):
+        if method == "gaussian":
+            return jnp.exp(-(ov * ov) / sigma)
+        return jnp.where(ov > iou_thr, 1.0 - ov, 1.0)     # linear
+
+    def body(state):
+        liveT, acc_s, acc_r, cnt, it = state              # liveT: (C, N)
+        s_w, j_w = jax.lax.top_k(liveT, wave)             # (C, T) desc
+        j_w = j_w.astype(jnp.int32)
+        out_bound = s_w[:, -1]                            # (C,) frozen edge
+        bw = boxes[j_w.reshape(-1)].reshape(c, wave, 4)
+        iou_w = bbox_overlaps(bw, bw)                     # (C, T, T)
+        iou_full = bbox_overlaps(bw, boxes)               # (C, T, N)
+
+        cur = s_w                                         # decayed window
+        dec_full = jnp.ones((c, n), f)                    # wave decay, full row
+        acc_mask = jnp.zeros((c, wave), bool)             # step t accepted?
+        rec_s = jnp.full((c, wave), NEG, f)               # pick scores
+        rec_r = jnp.zeros((c, wave), jnp.int32)           # pick input rows
+        pick_w = jnp.full((c, wave), n, jnp.int32)        # picked input rows
+        stopped = jnp.zeros((c,), bool)
+        for t in range(wave):
+            p = jnp.argmax(cur, axis=1)                   # (C,) window pos
+            sp = jnp.take_along_axis(cur, p[:, None], 1)[:, 0]
+            # t == 0 is always exact; later picks must strictly beat the
+            # frozen out-of-window bound to be provably global
+            ok = (~stopped) & (sp > NEG / 2)
+            if t > 0:
+                ok &= sp > out_bound
+            stopped = ~ok
+            acc_mask = acc_mask.at[:, t].set(ok)
+            rec_s = rec_s.at[:, t].set(jnp.where(ok, sp, NEG))
+            row = jnp.take_along_axis(j_w, p[:, None], 1)[:, 0]
+            rec_r = rec_r.at[:, t].set(jnp.where(ok, row, 0))
+            pick_w = pick_w.at[:, t].set(jnp.where(ok, row, n))
+            # decay the window sequentially (exact recurrence) ...
+            ov_w = jnp.take_along_axis(
+                iou_w, p[:, None, None], 1)[:, 0, :]      # (C, T)
+            cur = jnp.where(ok[:, None], cur * decay_of(ov_w), cur)
+            cur = jnp.where(ok[:, None] & (cur < min_score), NEG, cur)
+            cur = jnp.where(ok[:, None]
+                            & (jnp.arange(wave) == p[:, None]), NEG, cur)
+            # ... and accumulate the full-row decay for wave end
+            ov_f = jnp.take_along_axis(
+                iou_full, p[:, None, None], 1)[:, 0, :]   # (C, N)
+            dec_full = jnp.where(ok[:, None], dec_full * decay_of(ov_f),
+                                 dec_full)
+        # apply accumulated decay only to LIVE entries (NEG * decay would
+        # float back above the validity threshold), drop sub-min_score,
+        # remove the picks themselves
+        liveT = jnp.where(liveT > NEG / 2, liveT * dec_full, NEG)
+        liveT = jnp.where(liveT < min_score, NEG, liveT)
+        liveT = liveT.at[c_rows, pick_w].min(NEG, mode="drop")
+        # append accepted picks per class at positions cnt + in-wave rank
+        rank = jnp.cumsum(acc_mask, axis=1, dtype=jnp.int32) - 1
+        cols = jnp.where(acc_mask, cnt[:, None] + rank, width)
+        acc_s = acc_s.at[c_rows, cols].set(rec_s, mode="drop")
+        acc_r = acc_r.at[c_rows, cols].set(rec_r, mode="drop")
+        cnt = cnt + acc_mask.sum(1, dtype=jnp.int32)
+        return liveT, acc_s, acc_r, cnt, it + 1
+
+    def cond(state):
+        liveT, acc_s, _, _, it = state
+        rem = liveT.max()  # scores only decay: bound on all future picks
+        finalized = ((acc_s > jnp.maximum(rem, NEG / 2)).sum()
+                     >= max_per_img)
+        return (it < max_per_img) & (rem > NEG / 2) & ~finalized
+
+    live0 = jnp.where(eff >= min_score, eff, NEG).T       # (C, N)
+    acc_s0 = jnp.full((c, width), NEG, f)
+    acc_r0 = jnp.zeros((c, width), jnp.int32)
+    _, acc_s, acc_r, _, _ = jax.lax.while_loop(
+        cond, body, (live0, acc_s0, acc_r0,
                      jnp.zeros((c,), jnp.int32), jnp.int32(0)))
 
     ks, flat = jax.lax.top_k(acc_s.reshape(-1), max_per_img)

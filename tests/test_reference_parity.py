@@ -831,6 +831,62 @@ class TestSoftNmsParity:
             np.testing.assert_allclose(ks[:m], want[:m, 4], rtol=2e-5,
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("method", ["linear", "gaussian"])
+    def test_multiclass_uncapped_vs_per_class_oracle(self, method):
+        """multiclass_nms_idx(nms_type='soft_nms') — the UNCAPPED wave-
+        batched path — vs the reference semantics composed by hand: per
+        class, threshold raw scores at score_thr, multiply score_factors,
+        run soft_nms_cpu_oracle, concat all classes, global sort by decayed
+        score, top max_per_img (bbox_nms.py:79-146 with soft_nms_cpu)."""
+        import jax.numpy as jnp
+        from reference_loader import soft_nms_cpu_oracle
+        from sipmask_tpu.ops.nms import multiclass_nms_idx
+
+        n_cls, score_thr, max_out = 5, 0.05, 60
+        for seed in range(4):
+            r = np.random.RandomState(100 + seed)
+            n = 300
+            # dense scene: boxes clustered so decay chains actually fire
+            cx = r.uniform(20, 120, n).astype(np.float32)
+            cy = r.uniform(20, 120, n).astype(np.float32)
+            wb = r.uniform(15, 60, n).astype(np.float32)
+            hb = r.uniform(15, 60, n).astype(np.float32)
+            boxes = np.stack([cx - wb / 2, cy - hb / 2,
+                              cx + wb / 2, cy + hb / 2], 1)
+            scores = r.uniform(0, 1, (n, n_cls)).astype(np.float32)
+            factors = r.uniform(0.3, 1.0, n).astype(np.float32)
+
+            # reference composition, per class
+            want = []  # (score, row, cls)
+            for ci in range(n_cls):
+                sel = np.nonzero(scores[:, ci] > score_thr)[0]
+                dets = np.concatenate(
+                    [boxes[sel],
+                     (scores[sel, ci] * factors[sel])[:, None]], 1)
+                out, inds = soft_nms_cpu_oracle(dets, iou_thr=0.5,
+                                                method=method)
+                for row in range(len(out)):
+                    want.append((out[row, 4], sel[inds[row]], ci))
+            want.sort(key=lambda t: -t[0])
+            want = want[:max_out]
+
+            res = multiclass_nms_idx(
+                jnp.asarray(boxes), jnp.asarray(scores), score_thr,
+                0.5, max_out, score_factors=jnp.asarray(factors),
+                nms_type="soft_nms", soft_method=method)
+            got_v = np.asarray(res["valid"])
+            got_s = np.asarray(res["scores"])[got_v]
+            got_r = np.asarray(res["idxs"])[got_v]
+            got_c = np.asarray(res["labels"])[got_v]
+
+            assert len(got_s) == len(want) > 30
+            np.testing.assert_allclose(
+                got_s, [w[0] for w in want], rtol=3e-5, atol=1e-6)
+            # identity comparison as a set keyed by (row, cls): the global
+            # sort order of near-equal f32 scores may differ, identities not
+            assert set(zip(got_r.tolist(), got_c.tolist())) == \
+                {(int(w[1]), w[2]) for w in want}
+
 
 class TestMsTrainPipelineParity:
     """Multi-scale keep-ratio TRAIN pipeline end-to-end vs the reference

@@ -134,6 +134,60 @@ class TestTracker:
         assert int(state.count) == 0
         assert all(i == -1 for i in np.asarray(ids))
 
+    def test_crowded_video_lru_eviction(self):
+        """More distinct objects than slots: ids keep increasing past the
+        capacity (never reused, never -1 for a valid new object), the LRU
+        slot is evicted, and the overflow counter records every eviction.
+        Divergence from the reference's unbounded memory (SipMask-VIS
+        sipmask_head.py:653-667) is by design and surfaced via overflow."""
+        cap = 4
+        state = tracker_init(cap)
+        # 7 objects with orthogonal embeddings, far-apart boxes, distinct
+        # labels -> every appearance is a new object
+        feats = jnp.asarray(np.eye(7, 512, dtype=np.float32) * 5)
+        all_ids = []
+        for k in range(7):
+            b = jnp.asarray([[100. * k, 0., 100. * k + 10., 10.]])
+            state, ids = tracker_step(
+                state, b, jnp.asarray([0.9]), jnp.asarray([k + 1]),
+                jnp.asarray([True]), feats[k:k + 1], jnp.asarray(k == 0))
+            all_ids.append(int(ids[0]))
+        assert all_ids == [0, 1, 2, 3, 4, 5, 6]   # monotone, no -1, no reuse
+        assert int(state.count) == 7
+        assert int(state.overflow) == 3            # objects 4, 5, 6 evicted
+        # memory holds the 4 most recent ids, each in a valid slot
+        assert sorted(np.asarray(state.ids).tolist()) == [3, 4, 5, 6]
+        assert bool(state.active.all())
+
+    def test_eviction_skips_slot_matched_this_frame(self):
+        """When a frame both matches the oldest slot AND spawns a new
+        object, the eviction must NOT take the matched slot (its match was
+        scored against the pre-frame memory)."""
+        cap = 2
+        state = tracker_init(cap)
+        feats = jnp.asarray(np.eye(3, 512, dtype=np.float32) * 5)
+        # frame 0: objects A (slot 0) and B (slot 1)
+        b0 = jnp.asarray([[0., 0., 10., 10.], [200., 0., 210., 10.]])
+        state, _ = tracker_step(state, b0, jnp.asarray([0.9, 0.9]),
+                                jnp.asarray([1, 2]),
+                                jnp.asarray([True, True]), feats[:2],
+                                jnp.asarray(True))
+        # frame 1: a new object C arrives FIRST in detection order, then A
+        # reappears (matching slot 0). Both slots tie on last_seen, so an
+        # unprotected LRU would hand C slot 0 (argmin tie-break) and A's
+        # match would then read C's freshly issued id; protection forces C
+        # into B's slot instead.
+        b1 = jnp.asarray([[400., 0., 410., 10.], [1., 0., 11., 10.]])
+        state, ids = tracker_step(state, b1, jnp.asarray([0.9, 0.9]),
+                                  jnp.asarray([3, 1]),
+                                  jnp.asarray([True, True]),
+                                  jnp.concatenate([feats[2:3], feats[:1]]),
+                                  jnp.asarray(False))
+        assert list(np.asarray(ids)) == [2, 0]
+        assert int(state.overflow) == 1
+        got = set(np.asarray(state.ids).tolist())
+        assert got == {0, 2}  # A kept, B evicted, C live
+
 
 class TestMatchLoss:
     def test_perfect_embedding_low_loss(self):
