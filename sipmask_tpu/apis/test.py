@@ -19,10 +19,31 @@ from ..models.decode import decode_batch
 
 
 def run_inference(model, variables, cfg: SipMaskConfig, dataset,
-                  batch_size: int = 4, progress: bool = True):
-    """Returns the flat COCO-format result list for the whole dataset."""
+                  batch_size: int = 4, progress: bool = True,
+                  distributed: bool = False, tmpdir: Optional[str] = None):
+    """Returns the flat COCO-format result list for the whole dataset.
+
+    ``distributed=True`` is the ``multi_gpu_test`` analog
+    (SipMask-mmdetection/mmdet/apis/test.py:30-73): the val set is
+    sharded per host (``jax.process_index/process_count``, the
+    DistributedGroupSampler stride), each host infers its shard, and the
+    per-host result lists are collected across hosts — over JAX's
+    cross-host collectives by default, or via a shared ``tmpdir``
+    (reference ``collect_results_cpu``) when one is given. Every host
+    returns the SAME full list, in an order identical to the
+    single-process run (results are re-flattened in canonical
+    aspect-group dataset order, so distributed vs single-process output
+    is bit-for-bit equal).
+    """
     transform = TestTransform(cfg.data)
-    loader = build_test_loader(dataset, transform, batch_size=batch_size)
+    if distributed:
+        from ..parallel import (process_shard_args, collect_results_gather,
+                                collect_results_cpu)
+        shard_id, num_shards = process_shard_args()
+    else:
+        shard_id, num_shards = 0, 1
+    loader = build_test_loader(dataset, transform, batch_size=batch_size,
+                               shard_id=shard_id, num_shards=num_shards)
 
     @jax.jit
     def infer(variables, images, img_shapes, scale_factors):
@@ -51,7 +72,24 @@ def run_inference(model, variables, cfg: SipMaskConfig, dataset,
         n_done += n_valid
         if progress and n_done % 200 < batch_size:
             print(f"  inference {n_done}/{len(dataset)}", flush=True)
-    return results
+    if not distributed:
+        return results
+
+    # Collect per-host parts and re-flatten in the canonical order the
+    # single-process loader would have produced (aspect groups in dataset
+    # order), so eval output is independent of the host count.
+    if tmpdir is not None:
+        parts = collect_results_cpu(results, tmpdir)
+    else:
+        parts = collect_results_gather(results)
+    per_image = {}
+    for part in parts:
+        for r in part:
+            per_image.setdefault(r["image_id"], []).append(r)
+    flags = np.asarray([dataset.aspect_flag(i) for i in range(len(dataset))])
+    order = np.concatenate([np.where(flags)[0], np.where(~flags)[0]])
+    return [r for idx in order
+            for r in per_image.get(dataset.image_id(int(idx)), [])]
 
 
 def evaluate_coco(results, ann_file: str, metrics=("bbox", "segm")):

@@ -43,7 +43,8 @@ def make_coco_eval_hook(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
             return None
         variables = {"params": state.params, "constants": state.constants}
         results = run_inference(model, variables, cfg, dataset,
-                                batch_size=batch_size, progress=False)
+                                batch_size=batch_size, progress=False,
+                                distributed=jax.process_count() > 1)
         print(f"== eval @ epoch {epoch} ==")
         return evaluate_coco(results, ann_file, metrics=metrics)
 

@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--eval", nargs="+", default=["bbox", "segm"])
     ap.add_argument("--cfg-options", nargs="+", default=None,
                     help="dotted config overrides (see tools/train.py)")
+    ap.add_argument("--dist", action="store_true",
+                    help="multi-host eval: shard the val set per process and "
+                         "collect results (tools/dist_test.sh analog; run "
+                         "one process per host with jax.distributed env)")
+    ap.add_argument("--tmpdir", default=None,
+                    help="with --dist: collect via this shared dir instead "
+                         "of the cross-host allgather")
     args = ap.parse_args()
 
     from sipmask_tpu.config import get_config, apply_overrides
@@ -32,10 +39,17 @@ def main():
     from sipmask_tpu.data import CocoDataset
 
     cfg = apply_overrides(get_config(args.config), args.cfg_options)
+    if args.dist:
+        from sipmask_tpu.parallel import init_distributed
+        init_distributed()
     det = init_detector(cfg, checkpoint=args.checkpoint)
     dataset = CocoDataset(args.ann, args.img_prefix, test_mode=True)
     results = run_inference(det.model, det.variables, cfg, dataset,
-                            batch_size=args.batch_size)
+                            batch_size=args.batch_size,
+                            distributed=args.dist, tmpdir=args.tmpdir)
+    import jax
+    if args.dist and jax.process_index() != 0:
+        return  # rank 0 reports (every rank holds the full result list)
     if args.out:
         def _ser(r):
             r = dict(r)
