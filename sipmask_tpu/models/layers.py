@@ -54,21 +54,73 @@ class FrozenBatchNorm(nn.Module):
     a fixed per-channel affine transform whose statistics come from the
     pretrained checkpoint. Stored in the ``constants`` collection so the
     optimizer never sees them.
+
+    ``affine()`` exposes the folded per-channel (scale, bias) so callers
+    can fold the whole BN into an adjacent conv's weights (see
+    ConvFoldedBN) instead of paying an elementwise pass over the
+    activation.
     """
 
     features: int
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         init = lambda fill: (lambda shape: jnp.full(shape, fill, jnp.float32))
-        gamma = self.variable("constants", "gamma", init(1.0), (self.features,))
-        beta = self.variable("constants", "beta", init(0.0), (self.features,))
-        mean = self.variable("constants", "mean", init(0.0), (self.features,))
-        var = self.variable("constants", "var", init(1.0), (self.features,))
-        scale = gamma.value * jax.lax.rsqrt(var.value + self.eps)
-        bias = beta.value - mean.value * scale
+        self._gamma = self.variable("constants", "gamma", init(1.0),
+                                    (self.features,))
+        self._beta = self.variable("constants", "beta", init(0.0),
+                                   (self.features,))
+        self._mean = self.variable("constants", "mean", init(0.0),
+                                   (self.features,))
+        self._var = self.variable("constants", "var", init(1.0),
+                                  (self.features,))
+
+    def affine(self):
+        """Folded (scale, bias) in f32: y = x*scale + bias."""
+        scale = self._gamma.value * jax.lax.rsqrt(self._var.value + self.eps)
+        bias = self._beta.value - self._mean.value * scale
+        return scale, bias
+
+    def __call__(self, x):
+        scale, bias = self.affine()
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class ConvFoldedBN(nn.Module):
+    """Conv (no bias) with a frozen-BN affine folded into its weights.
+
+    ``conv(x, W)*s + b == conv(x, W*s) + b`` because the BN scale is
+    per-output-channel and constant: the fold is a weight-sized f32
+    multiply per step instead of an elementwise pass (plus its backward
+    ``dy*s`` pass) over the full activation. Parameter name/shape
+    ('kernel', HWIO) match nn.Conv so checkpoints and the torch converter
+    are unaffected; the frozen-BN constants stay under their own sibling
+    module (see Bottleneck). Gradients: dW = conv_grad * s by the chain
+    rule through the fold — identical math to the unfolded graph.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    weight_init: str = "kaiming"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale, bias):
+        ks = self.kernel_size
+        kernel = self.param(
+            "kernel", conv_init(self.weight_init),
+            (ks, ks, x.shape[-1] // self.groups, self.features), jnp.float32)
+        folded = (kernel * scale[None, None, None, :]).astype(self.dtype)
+        p = ks // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), folded,
+            window_strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
 
 
 class Scale(nn.Module):

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import FrozenBatchNorm, conv_init, max_pool, relu
+from .layers import ConvFoldedBN, FrozenBatchNorm, conv_init, max_pool, relu
 from ..ops.deform_conv import deform_conv2d
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
@@ -75,37 +75,38 @@ class Bottleneck(nn.Module):
         else:
             width = int(self.planes * (self.base_width / 64)) * self.groups
 
-        out = nn.Conv(width, (1, 1), strides=(conv1_stride,) * 2,
-                      use_bias=False, kernel_init=conv_init("kaiming"),
-                      dtype=self.dtype, name="conv1")(x)
-        out = relu(FrozenBatchNorm(width, name="bn1")(out))
+        # every conv-BN pair is folded: the frozen-BN affine rides the conv
+        # weights (ConvFoldedBN), so no elementwise BN pass (fwd or bwd)
+        # ever touches the activations
+        s1, b1 = FrozenBatchNorm(width, name="bn1").affine()
+        out = ConvFoldedBN(width, 1, stride=conv1_stride, dtype=self.dtype,
+                           name="conv1")(x, s1, b1)
+        out = relu(out)
 
+        s2, b2 = FrozenBatchNorm(width, name="bn2").affine()
         if self.with_dcn:
             assert self.groups == 1, "DCN + grouped conv not supported"
             out = DeformConvPack(width,
                                  deform_groups=self.dcn_deform_groups,
                                  stride=conv2_stride, dtype=self.dtype,
                                  name="conv2")(out)
+            out = out * s2.astype(out.dtype) + b2.astype(out.dtype)
         else:
-            out = nn.Conv(width, (3, 3), strides=(conv2_stride,) * 2,
-                          padding=1, use_bias=False,
-                          feature_group_count=self.groups,
-                          kernel_init=conv_init("kaiming"),
-                          dtype=self.dtype, name="conv2")(out)
-        out = relu(FrozenBatchNorm(width, name="bn2")(out))
+            out = ConvFoldedBN(width, 3, stride=conv2_stride,
+                               groups=self.groups, dtype=self.dtype,
+                               name="conv2")(out, s2, b2)
+        out = relu(out)
 
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      kernel_init=conv_init("kaiming"),
-                      dtype=self.dtype, name="conv3")(out)
-        out = FrozenBatchNorm(self.planes * 4, name="bn3")(out)
+        s3, b3 = FrozenBatchNorm(self.planes * 4, name="bn3").affine()
+        out = ConvFoldedBN(self.planes * 4, 1, dtype=self.dtype,
+                           name="conv3")(out, s3, b3)
 
         if self.downsample:
-            identity = nn.Conv(self.planes * 4, (1, 1),
-                               strides=(self.stride,) * 2, use_bias=False,
-                               kernel_init=conv_init("kaiming"),
-                               dtype=self.dtype, name="downsample_conv")(x)
-            identity = FrozenBatchNorm(self.planes * 4,
-                                       name="downsample_bn")(identity)
+            sd, bd = FrozenBatchNorm(self.planes * 4,
+                                     name="downsample_bn").affine()
+            identity = ConvFoldedBN(self.planes * 4, 1,
+                                    stride=self.stride, dtype=self.dtype,
+                                    name="downsample_conv")(x, sd, bd)
         return relu(out + identity)
 
 
@@ -126,10 +127,10 @@ class ResNet(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, 3) normalized BGR (caffe means). Returns C2..C5."""
         blocks = STAGE_BLOCKS[self.depth]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    kernel_init=conv_init("kaiming"), dtype=self.dtype,
-                    name="conv1")(x)
-        x = relu(FrozenBatchNorm(64, name="bn1")(x))
+        s0, b0 = FrozenBatchNorm(64, name="bn1").affine()
+        x = ConvFoldedBN(64, 7, stride=2, dtype=self.dtype,
+                         name="conv1")(x, s0, b0)
+        x = relu(x)
         x = max_pool(x, 3, 2, padding=1)
         if self.frozen_stages >= 1:
             x = jax.lax.stop_gradient(x)
