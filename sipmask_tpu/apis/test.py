@@ -92,11 +92,25 @@ def run_inference(model, variables, cfg: SipMaskConfig, dataset,
             for r in per_image.get(dataset.image_id(int(idx)), [])]
 
 
-def evaluate_coco(results, ann_file: str, metrics=("bbox", "segm")):
+def evaluate_coco(results, ann_file: str, metrics=("bbox", "segm"),
+                  dataset=None):
     """COCOeval on bbox + segm; bbox results use the detector score, segm
-    uses mask_scores when rescoring produced them."""
+    uses mask_scores when rescoring produced them. 'proposal_fast' runs
+    the greedy proposal-AR protocol (eval/recall.py, the reference's
+    fast_eval_recall, datasets/coco.py:239-258 + evaluation/recall.py)."""
     stats = {}
     for it in metrics:
+        if it == "proposal_fast":
+            from ..data import CocoDataset
+            from ..eval.recall import fast_eval_recall
+            ds = dataset or CocoDataset(ann_file, "", test_mode=True)
+            print("== proposal_fast ==")
+            ar = fast_eval_recall(
+                [{**r, "score": r.get("det_score", r["score"])}
+                 for r in results], ds)
+            stats[it] = {f"AR@{n}": float(ar[i, 0])
+                         for i, n in enumerate((100, 300, 1000))}
+            continue
         ev = COCOEvaluator(ann_file, iou_type=it)
         if it == "bbox":
             ev.update([{**r, "score": r.get("det_score", r["score"])}
