@@ -222,17 +222,30 @@ class GroupNorm32(nn.Module):
 
     Parameter names/shapes ('scale', 'bias', per-channel) match flax's
     GroupNorm so checkpoints and the torch converter are unaffected.
+
+    ``act=True`` fuses the following ReLU into the norm: on TPU at
+    tower-sized shapes both lower to the streaming Pallas kernels
+    (ops/pallas/group_norm.py — measured 2x less GN/ReLU overhead than
+    XLA's lowering at the hi-acc P3 shape); elsewhere the XLA
+    ``group_norm_nhwc`` (+ ``relu``) path runs, same math to bf16
+    rounding.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    act: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return group_norm_nhwc(x, scale, bias, self.num_groups, self.epsilon)
+        from ..ops.pallas.group_norm import fused_gn_relu, use_pallas_gn
+        if use_pallas_gn(x.shape, self.num_groups):
+            return fused_gn_relu(x, scale, bias, self.num_groups,
+                                 self.epsilon, self.act)
+        y = group_norm_nhwc(x, scale, bias, self.num_groups, self.epsilon)
+        return relu(y) if self.act else y
 
 
 class ConvModule(nn.Module):
@@ -261,7 +274,9 @@ class ConvModule(nn.Module):
                     kernel_init=conv_init(self.weight_init),
                     dtype=self.dtype, name="conv")(x)
         if self.norm == "gn":
-            x = GroupNorm32(num_groups=32, epsilon=1e-5, name="gn")(x)
+            # the ReLU rides the norm (fused on TPU)
+            return GroupNorm32(num_groups=32, epsilon=1e-5, act=self.act,
+                               name="gn")(x)
         if self.act:
             x = relu(x)
         return x

@@ -51,7 +51,9 @@ class FeatureAlign(nn.Module):
         x = deform_conv2d(x, offsets, weight.astype(x.dtype),
                           padding=1, deform_groups=self.deform_groups)
         if self.with_norm:
-            x = GroupNorm32(num_groups=32, epsilon=1e-5, name="norm")(x)
+            x = GroupNorm32(num_groups=32, epsilon=1e-5, act=True,
+                            name="norm")(x)
+            return x.astype(self.dtype)
         return relu(x).astype(self.dtype)
 
 

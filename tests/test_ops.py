@@ -821,3 +821,50 @@ class TestFusedMaskBce:
                                   interpret=True, mm_dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-3)
+
+
+class TestFusedGroupNorm:
+    """Pallas fused GN(+ReLU) vs the XLA group_norm_nhwc path: forward and
+    all three gradients, interpret mode on CPU, including a pixel count
+    that does not divide the p-tile (exercises the in-kernel tail mask)."""
+
+    @pytest.mark.parametrize("act", [True, False])
+    @pytest.mark.parametrize("shape", [(2, 20, 24, 256), (1, 37, 41, 128)])
+    def test_matches_xla_path(self, act, shape):
+        from sipmask_tpu.models.layers import group_norm_nhwc, relu
+        from sipmask_tpu.ops.pallas.group_norm import fused_gn_relu
+
+        groups = 32
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        scale = jnp.asarray(rng.rand(shape[-1]) + 0.5, jnp.float32)
+        bias = jnp.asarray(rng.randn(shape[-1]) * 0.2, jnp.float32)
+        cot = jnp.asarray(rng.randn(*shape), jnp.float32)
+
+        def ref(x, s, b):
+            y = group_norm_nhwc(x, s, b, groups, 1e-5)
+            return relu(y) if act else y
+
+        def got(x, s, b):
+            return fused_gn_relu(x, s, b, groups, 1e-5, act, True)
+
+        yr = jax.jit(ref)(x, scale, bias)
+        yg = jax.jit(got)(x, scale, bias)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(yr),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(f):
+            return lambda *a: jnp.sum(f(*a) * cot)
+
+        gr = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(x, scale, bias)
+        gg = jax.jit(jax.grad(loss(got), argnums=(0, 1, 2)))(x, scale, bias)
+        for name, a, b in zip(("dx", "dscale", "dbias"), gr, gg):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4,
+                atol=1e-4 * float(jnp.abs(a).max() + 1e-6), err_msg=name)
+
+    def test_gate_conditions(self):
+        from sipmask_tpu.ops.pallas.group_norm import use_pallas_gn
+        # CPU backend in tests -> always False; the shape logic is still
+        # meaningful via the helper's pure conditions
+        assert not use_pallas_gn((4, 100, 168, 256), 32)  # not on TPU here
