@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -29,7 +30,8 @@ def main():
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=4").strip()
+            flags + " --xla_force_host_platform_device_count="
+            f"{args.local_devices}").strip()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -44,8 +46,8 @@ def main():
                      num_processes=args.num_processes,
                      process_id=args.process_id)
     assert jax.process_count() == args.num_processes, jax.process_count()
-    assert jax.device_count() == 4 * args.num_processes, jax.device_count()
-    assert len(jax.local_devices()) == 4
+    assert jax.device_count() == args.local_devices * args.num_processes
+    assert len(jax.local_devices()) == args.local_devices
 
     from sipmask_tpu.config import get_config, _r
     from sipmask_tpu.train import create_train_state, make_train_step
@@ -61,7 +63,8 @@ def main():
     global_batch = demo_batch(batch_size=8, height=64, width=64, max_gts=8,
                               seed=5)
     shard_id, num_shards = process_shard_args()
-    rows = slice(shard_id * 4, (shard_id + 1) * 4)
+    rows_per = 8 // num_shards
+    rows = slice(shard_id * rows_per, (shard_id + 1) * rows_per)
     local = {k: jnp.asarray(v[rows]) for k, v in global_batch.items()}
 
     model, state, tx = create_train_state(
