@@ -80,7 +80,7 @@ def test_two_process_eval_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=540)
+            stdout, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -162,7 +162,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=540)
+            stdout, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -233,7 +233,7 @@ def test_four_process_train_step_matches_single_process(tmp_path):
     logs = []
     for p in procs:
         try:
-            stdout, _ = p.communicate(timeout=540)
+            stdout, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
