@@ -78,12 +78,20 @@ def fcos_targets_single(gt_bboxes, gt_labels, points, regress_ranges,
     areas = jnp.where(inside_gt, areas, INF)
     areas = jnp.where(inside_range, areas, INF)
     min_area = areas.min(axis=1)  # (P,)
-    min_inds = areas.argmin(axis=1)  # (P,)
 
-    labels = jnp.take(gt_labels, min_inds)
+    # First-minimum one-hot over the tiny G axis instead of argmin + gather:
+    # TPU gathers with (P,)-sized index vectors run at ~28 GB/s (kCustom
+    # fusions, ~1.8 ms/step in the hi-acc train profile) while the masked
+    # reductions below fuse into ordinary vector code. Exact: `areas ==
+    # min_area` is bit-exact (min returns one of the compared values) and the
+    # cumsum==1 guard reproduces argmin's first-match tie-break (:845-846).
+    is_min = areas == min_area[:, None]  # (P, G)
+    onehot = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+    g = gt_labels.shape[0]
+    min_inds = (onehot * jnp.arange(g, dtype=jnp.int32)[None, :]).sum(1)
+    labels = (onehot * gt_labels[None, :].astype(jnp.int32)).sum(1)
     labels = jnp.where(min_area >= INF, 0, labels)
-    bbox_targets = jnp.take_along_axis(
-        bbox_targets, min_inds[:, None, None], axis=1).squeeze(1)  # (P, 4)
+    bbox_targets = (onehot[:, :, None] * bbox_targets).sum(axis=1)  # (P, 4)
     return dict(labels=labels.astype(jnp.int32),
                 bbox_targets=bbox_targets,
                 gt_inds=min_inds.astype(jnp.int32))

@@ -130,10 +130,16 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
         valid = (labels_i > 0) & (area > 1.0)  # (:411,421)
 
         # weighting = sigmoid(cls_score at gt label) * IoU(gt/2, dt) (:429-434)
+        # Both selects run as one-hot reductions rather than gathers: a
+        # (P,)-indexed gather lowers to a ~28 GB/s kCustom fusion on TPU,
+        # the masked reduce fuses at full vector throughput.
         lbl = jnp.clip(labels_i - 1, 0)
+        lbl_oh = lbl[:, None] == jnp.arange(cls_i.shape[1])[None, :]
         cls_score = jax.nn.sigmoid(
-            jnp.take_along_axis(cls_i, lbl[:, None], axis=1).squeeze(1))
-        gt_sel = jnp.take(gt_boxes_i, gt_inds_i, axis=0)  # (P, 4)
+            jnp.where(lbl_oh, cls_i, 0.0).sum(axis=1))
+        gt_oh = (gt_inds_i[:, None] ==
+                 jnp.arange(gt_boxes_i.shape[0])[None, :])  # (P, G)
+        gt_sel = (gt_oh[:, :, None] * gt_boxes_i[None]).sum(axis=1)  # (P, 4)
         ious = bbox_overlaps(gt_sel / 2.0, bbox_dt, is_aligned=True, eps=1e-9)
         w_raw = jax.lax.stop_gradient(cls_score * ious)
 

@@ -74,19 +74,26 @@ def _quadrant_preds(py, px, boxes_ref):
     return inb, right, bottom
 
 
-def _sel_logits(basis_blk, cofT_ref, right, bottom, nb):
-    """Quadrant-selected logits (PB, K) f32 via 4 MXU matmuls + 3 selects."""
-    def m(q):
-        c = cofT_ref[0, q * nb:(q + 1) * nb, :]          # (NB, K)
-        return jnp.dot(basis_blk, c, preferred_element_type=jnp.float32)
+def _sel_logits(basis_blk, cof4_ref, right, bottom, kp):
+    """Quadrant-selected logits (PB, K) f32.
 
-    mtop = jnp.where(right, m(1), m(0))
-    mbot = jnp.where(right, m(3), m(2))
+    cof4_ref holds the four quadrant matrices stacked along the N axis
+    ((NB, 4*K), quadrant-major lanes), so all four products run as ONE
+    (PB, NB) @ (NB, 4K) MXU call — the K=NB=32 contraction underfills the
+    MXU (32/128 of peak); batching N keeps its pipeline full instead of
+    issuing four half-empty (PB,K) dots. Per output element the arithmetic
+    is identical to the four separate dots. Returns (sel, sel_all) so the
+    backward can reuse the product."""
+    sel_all = jnp.dot(basis_blk, cof4_ref[0],
+                      preferred_element_type=jnp.float32)   # (PB, 4K)
+    m = [sel_all[:, q * kp:(q + 1) * kp] for q in range(4)]
+    mtop = jnp.where(right, m[1], m[0])
+    mbot = jnp.where(right, m[3], m[2])
     return jnp.where(bottom, mbot, mtop)
 
 
-def _fwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref,
-                pre_ref, *, nb, w, hw):
+def _fwd_kernel(basis_ref, gtT_ref, onehotT_ref, cof4_ref, boxes_ref,
+                pre_ref, *, kp, w, hw):
     import jax.experimental.pallas as pl
 
     pt = pl.program_id(1)
@@ -94,7 +101,7 @@ def _fwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref,
     inb, right, bottom = _quadrant_preds(py, px, boxes_ref)
     inb = inb & (i < hw)                                  # flat padding
     basis_blk = basis_ref[0]                              # (PB, NB)
-    sel = _sel_logits(basis_blk, cofT_ref, right, bottom, nb)
+    sel = _sel_logits(basis_blk, cof4_ref, right, bottom, kp)
     y = jnp.dot(gtT_ref[0], onehotT_ref[0],
                 preferred_element_type=jnp.float32)       # (PB, K) exact 0/1
     bce = (jnp.maximum(sel, 0.0) - sel * y +
@@ -108,8 +115,8 @@ def _fwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref,
     pre_ref[0, 0, :] += contrib
 
 
-def _bwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref, g_ref,
-                dbasis_ref, dcofT_ref, *, nb, w, hw):
+def _bwd_kernel(basis_ref, gtT_ref, onehotT_ref, cof4_ref, boxes_ref, g_ref,
+                dbasis_ref, dcof4_ref, *, kp, w, hw):
     import jax.experimental.pallas as pl
 
     pt = pl.program_id(1)
@@ -117,7 +124,7 @@ def _bwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref, g_ref,
     inb, right, bottom = _quadrant_preds(py, px, boxes_ref)
     inb = inb & (i < hw)
     basis_blk = basis_ref[0]
-    sel = _sel_logits(basis_blk, cofT_ref, right, bottom, nb)
+    sel = _sel_logits(basis_blk, cof4_ref, right, bottom, kp)
     y = jnp.dot(gtT_ref[0], onehotT_ref[0],
                 preferred_element_type=jnp.float32)
     dsel = jnp.where(inb, (jax.nn.sigmoid(sel) - y) * g_ref[0, 0:1, :], 0.0)
@@ -125,28 +132,26 @@ def _bwd_kernel(basis_ref, gtT_ref, onehotT_ref, cofT_ref, boxes_ref, g_ref,
 
     @pl.when(pt == 0)
     def _():
-        dcofT_ref[...] = jnp.zeros_like(dcofT_ref)
+        dcof4_ref[...] = jnp.zeros_like(dcof4_ref)
 
+    # Mask dsel into the quadrant-stacked (PB, 4K) layout matching cof4:
+    # both backward contractions then run as ONE full-K MXU call each
+    # (K=PB for dcof, K=4Kp for dbasis) instead of four half-empty dots
+    # plus four separate masked copies.
     zero = jnp.zeros_like(dsel)
-    dbasis = None
-    for q in range(4):
-        if q == 0:
-            mq = jnp.where(right, zero, jnp.where(bottom, zero, dsel))
-        elif q == 1:
-            mq = jnp.where(right, jnp.where(bottom, zero, dsel), zero)
-        elif q == 2:
-            mq = jnp.where(right, zero, jnp.where(bottom, dsel, zero))
-        else:
-            mq = jnp.where(right, jnp.where(bottom, dsel, zero), zero)
-        # dcof_q (NB, K) += basis^T @ mq   (contract PB on both)
-        dcofT_ref[0, q * nb:(q + 1) * nb, :] += jax.lax.dot_general(
-            basis_blk, mq, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dcofT_ref.dtype)
-        # dbasis (PB, NB) += mq @ cof_q^T  (contract K on both)
-        c = cofT_ref[0, q * nb:(q + 1) * nb, :]           # (NB, K)
-        d = jax.lax.dot_general(mq, c, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        dbasis = d if dbasis is None else dbasis + d
+    m = jnp.concatenate(
+        [jnp.where(right, zero, jnp.where(bottom, zero, dsel)),
+         jnp.where(right, jnp.where(bottom, zero, dsel), zero),
+         jnp.where(right, zero, jnp.where(bottom, dsel, zero)),
+         jnp.where(right, jnp.where(bottom, dsel, zero), zero)],
+        axis=1)                                           # (PB, 4K)
+    # dcof4 (NB, 4K) += basis^T @ m   (contract PB on both)
+    dcof4_ref[0] += jax.lax.dot_general(
+        basis_blk, m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dcof4_ref.dtype)
+    # dbasis (PB, NB) = m @ cof4^T    (contract the stacked 4K axis)
+    dbasis = jax.lax.dot_general(m, cof4_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
     dbasis_ref[0] = dbasis.astype(dbasis_ref.dtype)
 
 
@@ -166,33 +171,35 @@ def _prep(basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype):
     onehotT = jax.nn.one_hot(gt_idx, gp, dtype=mm_dtype,
                              axis=1)                       # (B, Gp, K)
     onehotT = _pad_axis(onehotT, 128, 2)
-    cofT = _pad_axis(cofs.astype(mm_dtype).transpose(0, 2, 1), 128, 2)
+    # quadrant matrices stacked along N (quadrant-major lanes): (B, NB, 4*Kp)
+    cof4 = _pad_axis(
+        cofs.astype(mm_dtype).reshape(b, k, 4, nb).transpose(0, 3, 2, 1), 128,
+        3).reshape(b, nb, 4 * kp)
     boxesT = jnp.concatenate(
         [boxes.astype(jnp.float32).transpose(0, 2, 1),
          jnp.zeros((b, 4, k), jnp.float32)], 1)            # (B, 8, K)
     boxesT = _pad_axis(boxesT, 128, 2)
-    return basis2, gtT, onehotT, cofT, boxesT, (b, hw, hwp, nb, k, kp, gp,
+    return basis2, gtT, onehotT, cof4, boxesT, (b, hw, hwp, nb, k, kp, gp,
                                                 h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
-def _fused_fwd_call(basis2, gtT, onehotT, cofT, boxesT, h, w,
+@functools.partial(jax.jit, static_argnames=("h", "w", "kp", "interpret"))
+def _fused_fwd_call(basis2, gtT, onehotT, cof4, boxesT, h, w, kp,
                     interpret=False):
     import jax.experimental.pallas as pl
 
     b, hwp, nb = basis2.shape
-    kp = cofT.shape[2]
     gp = gtT.shape[2]
     pt_n = hwp // P_TILE
     grid = (b, pt_n)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, nb=nb, w=w, hw=h * w),
+        functools.partial(_fwd_kernel, kp=kp, w=w, hw=h * w),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, P_TILE, nb), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((1, P_TILE, gp), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((1, gp, kp), lambda bb, pt: (bb, 0, 0)),
-            pl.BlockSpec((1, 4 * nb, kp), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((1, nb, 4 * kp), lambda bb, pt: (bb, 0, 0)),
             pl.BlockSpec((1, 8, kp), lambda bb, pt: (bb, 0, 0)),
         ],
         # (B, 8, Kp) with row 0 live: Mosaic requires the block's trailing
@@ -201,52 +208,51 @@ def _fused_fwd_call(basis2, gtT, onehotT, cofT, boxesT, h, w,
         out_shape=jax.ShapeDtypeStruct((b, 8, kp), jnp.float32),
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(basis2, gtT, onehotT, cofT, boxesT)
+    )(basis2, gtT, onehotT, cof4, boxesT)
     return out[:, 0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
-def _fused_bwd_call(basis2, gtT, onehotT, cofT, boxesT, gpad, h, w,
+@functools.partial(jax.jit, static_argnames=("h", "w", "kp", "interpret"))
+def _fused_bwd_call(basis2, gtT, onehotT, cof4, boxesT, gpad, h, w, kp,
                     interpret=False):
     import jax.experimental.pallas as pl
 
     b, hwp, nb = basis2.shape
-    kp = cofT.shape[2]
     gp = gtT.shape[2]
     pt_n = hwp // P_TILE
     grid = (b, pt_n)
-    dbasis, dcofT = pl.pallas_call(
-        functools.partial(_bwd_kernel, nb=nb, w=w, hw=h * w),
+    dbasis, dcof4 = pl.pallas_call(
+        functools.partial(_bwd_kernel, kp=kp, w=w, hw=h * w),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, P_TILE, nb), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((1, P_TILE, gp), lambda bb, pt: (bb, pt, 0)),
             pl.BlockSpec((1, gp, kp), lambda bb, pt: (bb, 0, 0)),
-            pl.BlockSpec((1, 4 * nb, kp), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((1, nb, 4 * kp), lambda bb, pt: (bb, 0, 0)),
             pl.BlockSpec((1, 8, kp), lambda bb, pt: (bb, 0, 0)),
             pl.BlockSpec((1, 1, kp), lambda bb, pt: (bb, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, P_TILE, nb), lambda bb, pt: (bb, pt, 0)),
-            pl.BlockSpec((1, 4 * nb, kp), lambda bb, pt: (bb, 0, 0)),
+            pl.BlockSpec((1, nb, 4 * kp), lambda bb, pt: (bb, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hwp, nb), jnp.float32),
-            jax.ShapeDtypeStruct((b, 4 * nb, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb, 4 * kp), jnp.float32),
         ],
         compiler_params=None if interpret else _compiler_params(),
         interpret=interpret,
-    )(basis2, gtT, onehotT, cofT, boxesT, gpad)
-    return dbasis, dcofT
+    )(basis2, gtT, onehotT, cof4, boxesT, gpad)
+    return dbasis, dcof4
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _mask_bce_core(basis, cofs, boxes, gt_masks_g, gt_idx, interpret,
                    mm_dtype):
-    basis2, gtT, onehotT, cofT, boxesT, meta = _prep(
+    basis2, gtT, onehotT, cof4, boxesT, meta = _prep(
         basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype)
     (b, hw, hwp, nb, k, kp, gp, h, w) = meta
-    out = _fused_fwd_call(basis2, gtT, onehotT, cofT, boxesT, h, w,
+    out = _fused_fwd_call(basis2, gtT, onehotT, cof4, boxesT, h, w, kp,
                           interpret=interpret)
     return out[:, :k]
 
@@ -259,14 +265,16 @@ def _core_fwd(basis, cofs, boxes, gt_masks_g, gt_idx, interpret, mm_dtype):
 
 def _core_bwd(interpret, mm_dtype, res, g):
     basis, cofs, boxes, gt_masks_g, gt_idx = res
-    basis2, gtT, onehotT, cofT, boxesT, meta = _prep(
+    basis2, gtT, onehotT, cof4, boxesT, meta = _prep(
         basis, cofs, boxes, gt_masks_g, gt_idx, mm_dtype)
     (b, hw, hwp, nb, k, kp, gp, h, w) = meta
     gpad = _pad_axis(g.astype(jnp.float32), 128, 1)[:, None, :]  # (B, 1, Kp)
-    dbasis2, dcofT = _fused_bwd_call(basis2, gtT, onehotT, cofT, boxesT,
-                                     gpad, h, w, interpret=interpret)
+    dbasis2, dcof4 = _fused_bwd_call(basis2, gtT, onehotT, cof4, boxesT,
+                                     gpad, h, w, kp, interpret=interpret)
     dbasis = dbasis2[:, :hw, :].reshape(basis.shape).astype(basis.dtype)
-    dcof = dcofT[:, :, :k].transpose(0, 2, 1).astype(cofs.dtype)
+    # (B, NB, 4*Kp) quadrant-major lanes -> (B, K, 4*NB)
+    dcof = dcof4.reshape(b, nb, 4, kp)[:, :, :, :k].transpose(
+        0, 3, 2, 1).reshape(b, k, 4 * nb).astype(cofs.dtype)
     return dbasis, dcof, jnp.zeros_like(boxes), _zero_cot(gt_masks_g), \
         _zero_cot(gt_idx)
 

@@ -44,9 +44,15 @@ def make_train_step(model, tx, cfg: SipMaskConfig, donate: bool = True):
 
         (total, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
-                                        updates)
+        if hasattr(tx, "fused_apply"):
+            # one read-(g,p,v)/write-(p,v) pass per leaf (see optim.FusedSGD)
+            params, opt_state = tx.fused_apply(grads, state.opt_state,
+                                               state.params)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                            updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         metrics = dict(losses)
