@@ -108,7 +108,9 @@ def evaluate_coco(results, ann_file: str, metrics=("bbox", "segm"),
             ar = fast_eval_recall(
                 [{**r, "score": r.get("det_score", r["score"])}
                  for r in results], ds)
-            stats[it] = {f"AR@{n}": float(ar[i, 0])
+            # mean over IoU 0.5:0.95, the reference's AR@N definition
+            # (coco.py evaluate: ar = recalls.mean(axis=1))
+            stats[it] = {f"AR@{n}": float(ar[i].mean())
                          for i, n in enumerate((100, 300, 1000))}
             continue
         ev = COCOEvaluator(ann_file, iou_type=it)

@@ -41,10 +41,22 @@ def make_coco_eval_hook(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
     def hook(model, state, epoch):
         if epoch % interval_epochs:
             return None
-        variables = {"params": state.params, "constants": state.constants}
+        # device_get to host-local arrays: the train state is replicated
+        # over the mesh, but run_inference feeds per-host DIFFERENT batches
+        # into jax.jit — mixing mesh-addressed params with host-local data
+        # only happens to work because infer has no collectives. Host-local
+        # copies make the eval unconditionally well-defined under
+        # multi-process SPMD.
+        variables = jax.device_get(
+            {"params": state.params, "constants": state.constants})
         results = run_inference(model, variables, cfg, dataset,
                                 batch_size=batch_size, progress=False,
                                 distributed=jax.process_count() > 1)
+        if jax.process_index() != 0:
+            # every rank holds the collected results; only rank 0 scores
+            # and reports (the reference evaluates on rank 0 only,
+            # core/evaluation/eval_hooks.py:31-44)
+            return None
         print(f"== eval @ epoch {epoch} ==")
         return evaluate_coco(results, ann_file, metrics=metrics)
 
@@ -68,7 +80,10 @@ def make_ytvos_eval_hook(cfg: SipMaskConfig, ann_file: str, img_prefix: str,
     def hook(model, state, epoch):
         if epoch % interval_epochs:
             return None
-        variables = {"params": state.params, "constants": state.constants}
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return None  # video inference is not sharded; rank 0 evaluates
+        variables = jax.device_get(
+            {"params": state.params, "constants": state.constants})
         results = run_video_inference(model, variables, cfg, dataset,
                                       progress=False)
         print(f"== VIS eval @ epoch {epoch} ==")

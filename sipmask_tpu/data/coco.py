@@ -98,6 +98,7 @@ class CocoDataset:
 
         self.images = []
         self.anns = []
+        self.recall_anns = []
         for im in data["images"]:
             anns = anns_by_img.get(im["id"], [])
             valid = [a for a in anns
@@ -110,6 +111,12 @@ class CocoDataset:
                     continue
             self.images.append(im)
             self.anns.append(valid)
+            # proposal-recall gts keep degenerate boxes: the reference's
+            # fast_eval_recall filters only ignore/iscrowd (coco.py:243-252),
+            # not the area/size validity used for training targets
+            self.recall_anns.append(
+                [a for a in anns
+                 if not a.get("iscrowd", 0) and not a.get("ignore", False)])
 
     def __len__(self):
         return len(self.images)
@@ -128,6 +135,17 @@ class CocoDataset:
         if img is None:
             raise FileNotFoundError(path)
         return img
+
+    def recall_gts(self, idx) -> np.ndarray:
+        """(N, 4) xyxy gts for proposal-recall eval: every non-crowd,
+        non-ignore annotation, including degenerate boxes (the reference's
+        fast_eval_recall gt construction, datasets/coco.py:243-252)."""
+        boxes = [[a["bbox"][0], a["bbox"][1],
+                  a["bbox"][0] + a["bbox"][2] - 1,
+                  a["bbox"][1] + a["bbox"][3] - 1]
+                 for a in self.recall_anns[idx]]
+        return (np.asarray(boxes, np.float32) if boxes
+                else np.zeros((0, 4), np.float32))
 
     def get_ann(self, idx, with_masks: bool = True):
         """Returns (boxes xyxy (N,4) f32, labels (N,) int32,

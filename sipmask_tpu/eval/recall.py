@@ -94,7 +94,7 @@ def eval_recalls(gts, proposals, proposal_nums=(100, 300, 1000),
 
 
 def fast_eval_recall(results, dataset, proposal_nums=(100, 300, 1000),
-                     iou_thrs=(0.5,), verbose: bool = True) -> np.ndarray:
+                     iou_thrs=None, verbose: bool = True) -> np.ndarray:
     """Proposal AR from flat COCO-format det results against a CocoDataset.
 
     ``results``: list of dicts with image_id, bbox (xywh), score — the
@@ -102,7 +102,13 @@ def fast_eval_recall(results, dataset, proposal_nums=(100, 300, 1000),
     (k, 5) xyxy+score proposals (x2 = x1 + w - 1, the reference's
     fast_eval_recall conversion, datasets/coco.py:251-252), and evaluated
     with eval_recalls over every image of the dataset.
+
+    ``iou_thrs`` defaults to 0.5:0.95:0.05, the reference's proposal_fast
+    protocol (datasets/coco.py evaluate: iou_thrs=np.arange(0.5, 0.96,
+    0.05)); the reported AR@N is the mean over these thresholds.
     """
+    if iou_thrs is None:
+        iou_thrs = np.arange(0.5, 0.96, 0.05)
     by_img = {}
     for r in results:
         x, y, w, h = r["bbox"]
@@ -112,10 +118,11 @@ def fast_eval_recall(results, dataset, proposal_nums=(100, 300, 1000),
     gts, props = [], []
     for i in range(len(dataset)):
         img_id = dataset.image_id(i)
-        # get_ann boxes are xyxy with the same x2 = x1 + w - 1 conversion
-        # (and iscrowd filtering) as the reference's gt construction
-        g, _, _ = dataset.get_ann(i, with_masks=False)
-        gts.append(g)
+        # recall gts keep degenerate boxes — the reference filters only
+        # ignore/iscrowd here (coco.py:243-252), unlike the training-target
+        # validity filter in get_ann
+        gts.append(dataset.recall_gts(i) if hasattr(dataset, "recall_gts")
+                   else dataset.get_ann(i, with_masks=False)[0])
         p = np.asarray(by_img.get(img_id, np.zeros((0, 5))), np.float32)
         props.append(p.reshape(-1, 5))
     return eval_recalls(gts, props, proposal_nums, iou_thrs, verbose=verbose)

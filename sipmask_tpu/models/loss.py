@@ -199,10 +199,14 @@ def compute_losses(outputs, batch, cfg: HeadConfig, max_pos: int = 256,
     from ..ops.pallas.mask_loss import (mask_bce_fused_available,
                                         mask_bce_loss_fused)
     if mask_bce_fused_available():
+        # final_valid lets the kernel's y-banding skip dead lanes entirely
+        # (their pre becomes exactly 0; the weighting below zeroes them
+        # anyway, so the loss is unchanged)
         pre = mask_bce_loss_fused(feat_masks, aux["cof_sel"],
                                   aux["box_sel"], batch["gt_masks"],
                                   aux["gtidx_sel"],
-                                  mm_dtype=model_dtype)       # (B, K)
+                                  mm_dtype=model_dtype,
+                                  valid=final_valid)          # (B, K)
     else:
         pre = jax.vmap(mask_bce_loss_indexed)(
             feat_masks, aux["cof_sel"], aux["box_sel"],

@@ -58,7 +58,16 @@ Q_BLK = 512
 # + banding machinery at these sizes, is exact the same way, and is
 # natively differentiable (measured: P4 at 544^2 1.8ms dense vs 3.3ms
 # Pallas; P5-P7 together ~1.4ms dense vs ~3ms)
-DENSE_MAX_Q = 1536
+import os
+# Fwd/bwd thresholds differ (round-5 re-sweep on the loop-based kernels):
+# the dense FORWARD einsum fuses and beats the kernels up to mid-sized
+# levels (RT infer 23.7 ms dense-P4 vs 24.5 Pallas-P4), but the dense
+# BACKWARD materializes (N,K,P,Q) tent/product tensors and loses badly
+# (hi-acc train 137.2 -> 135.5 ms moving P5's bwd off dense; RT train
+# 46.6 -> 39.7 moving P4's). Levels in (DENSE_BWD_MAX_Q, DENSE_MAX_Q]
+# run dense fwd + banded Pallas bwd via _sample_dense_pbwd.
+DENSE_MAX_Q = int(os.environ.get("SIPMASK_DENSE_MAX_Q", "1536"))
+DENSE_BWD_MAX_Q = int(os.environ.get("SIPMASK_DENSE_BWD_MAX_Q", "300"))
 
 
 def _compiler_params():
@@ -622,6 +631,32 @@ def _sample_banded(x_rows, pyx, h, w):
     return sample_ref(x_rows, pyx, h, w)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sample_dense_pbwd(x_rows, pyx, h, w):
+    """Dense XLA forward + banded Pallas backward, for mid-sized levels:
+    the fused dense fwd is cheapest, but its autodiff materializes
+    (N, K, P, Q) tensors — the Pallas backward avoids that entirely.
+    dpyx uses the kernels' one-sided tent derivative (the CUDA col2im
+    convention; nonzero at exactly-integer positions, i.e. zero-offset
+    init), same as the large-level path."""
+    return sample_dense(x_rows, pyx, h, w)
+
+
+def _dense_pbwd_fwd(x_rows, pyx, h, w):
+    return sample_dense(x_rows, pyx, h, w), (x_rows, pyx)
+
+
+def _dense_pbwd_bwd(h, w, res, g):
+    x_rows, pyx = res
+    if pallas_available():
+        return _sample_pallas_bwd(x_rows, pyx, g, h, w)
+    _, vjp = jax.vjp(lambda xr, pp: sample_dense(xr, pp, h, w), x_rows, pyx)
+    return vjp(g)
+
+
+_sample_dense_pbwd.defvjp(_dense_pbwd_fwd, _dense_pbwd_bwd)
+
+
 def sample_bilinear_rows(x_rows, pyx, h, w):
     """Deformable bilinear row sampling.
 
@@ -633,12 +668,15 @@ def sample_bilinear_rows(x_rows, pyx, h, w):
       tap-contraction consumes it without a relayout. Differentiable in
       x_rows and pyx.
 
-    Dispatch: small levels (q <= DENSE_MAX_Q) run the dense XLA einsum;
-    large levels run the banded Pallas kernel (TPU) or the XLA gather
+    Dispatch: tiny levels (q <= DENSE_BWD_MAX_Q) run the dense XLA einsum
+    end to end; mid levels (q <= DENSE_MAX_Q) run dense fwd + Pallas bwd;
+    large levels run the banded Pallas kernels (TPU) or the XLA gather
     reference (CPU).
     """
-    if h * w <= DENSE_MAX_Q and pallas_available():
+    if h * w <= DENSE_BWD_MAX_Q and pallas_available():
         return sample_dense(x_rows, pyx, h, w)
+    if h * w <= DENSE_MAX_Q and pallas_available():
+        return _sample_dense_pbwd(x_rows, pyx, h, w)
     return _sample_banded(x_rows, pyx, h, w)
 
 

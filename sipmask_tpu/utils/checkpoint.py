@@ -23,6 +23,13 @@ def _to_numpy(tree):
 
 
 def save_checkpoint(path: str, state, meta: Optional[dict] = None):
+    """Save the train state. Under multi-process SPMD this is a collective:
+    every process must call it (orbax coordinates; the primary host
+    writes), matching the reference's rank-0 checkpointing under DDP
+    (mmcv CheckpointHook / fcos_core checkpoint.py). The sidecar files
+    (meta.json, last_checkpoint) are written by process 0 only, behind a
+    barrier so no process observes last_checkpoint before the checkpoint
+    itself is complete."""
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
     payload = dict(params=_to_numpy(state.params),
@@ -31,10 +38,14 @@ def save_checkpoint(path: str, state, meta: Optional[dict] = None):
                    step=np.asarray(state.step))
     ckpt.save(path, payload, force=True)
     ckpt.wait_until_finished()
-    if meta is not None:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
-    _write_last(os.path.dirname(path), path)
+    if jax.process_index() == 0:
+        if meta is not None:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+        _write_last(os.path.dirname(path), path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("sipmask_ckpt_saved")
 
 
 def restore_checkpoint(path: str, state):

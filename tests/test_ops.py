@@ -822,6 +822,56 @@ class TestFusedMaskBce:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=1e-3)
 
+    def test_y_banding_exact_with_scattered_boxes(self):
+        # several chunks' worth of positives, boxes scattered over y so
+        # the per-(tile, chunk) skip logic actually fires; values and
+        # gradients must equal the unbanded XLA oracle
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture(seed=7, b=1, h=96,
+                                                     w=64, k=300)
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True, mm_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=1e-3)
+
+    def test_valid_mask_zeroes_and_matches(self):
+        # invalid entries -> pre exactly 0; valid entries untouched; grads
+        # of a 0-weighted-invalid loss match the oracle's
+        from sipmask_tpu.ops.pallas.mask_loss import mask_bce_loss_fused
+        basis, cofs, boxes, gt, gidx = self._fixture(seed=8, k=96)
+        valid = jnp.asarray(
+            np.random.RandomState(9).rand(*cofs.shape[:2]) > 0.4)
+        wv = valid.astype(jnp.float32)
+
+        got = mask_bce_loss_fused(basis, cofs, boxes, gt, gidx,
+                                  interpret=True, mm_dtype=jnp.float32,
+                                  valid=valid)
+        want = jax.vmap(self._indexed)(basis, cofs, boxes, gt, gidx)
+        np.testing.assert_array_equal(
+            np.asarray(got)[~np.asarray(valid)], 0.0)
+        np.testing.assert_allclose(np.asarray(got)[np.asarray(valid)],
+                                   np.asarray(want)[np.asarray(valid)],
+                                   rtol=2e-5, atol=1e-3)
+
+        def loss_f(b_, c_):
+            return (mask_bce_loss_fused(b_, c_, boxes, gt, gidx,
+                                        interpret=True,
+                                        mm_dtype=jnp.float32,
+                                        valid=valid) * wv).sum()
+
+        def loss_r(b_, c_):
+            return (jax.vmap(self._indexed)(b_, c_, boxes, gt, gidx)
+                    * wv).sum()
+
+        gf = jax.grad(loss_f, argnums=(0, 1))(basis, cofs)
+        gr = jax.grad(loss_r, argnums=(0, 1))(basis, cofs)
+        for a, b_ in zip(gr, gf):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            np.testing.assert_allclose(
+                np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
+                atol=1e-4)
+
 
 class TestFusedGroupNorm:
     """Pallas fused GN(+ReLU) vs the XLA group_norm_nhwc path: forward and
