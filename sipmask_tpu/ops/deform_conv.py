@@ -30,10 +30,15 @@ SipMask++ DCN backbone stages (configs/sipmask/sipmask++_*.py:13-14).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
-from .pallas.deform_gather import sample_bilinear_rows
+from .pallas.deform_gather import (DENSE_BWD_MAX_Q, DX_RESIDENT_MAX_BYTES,
+                                   P_BLK, _deform_bwd_pallas,
+                                   pallas_available, sample_bilinear_rows,
+                                   sample_bilinear_rows_t)
 
 
 def _sample_positions(offsets, kh, kw, stride, padding, dilation,
@@ -61,6 +66,81 @@ def _sample_positions(offsets, kh, kw, stride, padding, dilation,
           tap_dx[None, None, :, None, None] + off[..., 1])
     pyx = jnp.stack([py, px], -1)
     return pyx.reshape(b * g, k, ho * wo, 2)
+
+
+# ------------------------ fused TPU path (kc-major, one-kernel backward)
+
+# dW accumulator (K*Cg, O) f32 must stay comfortably VMEM-resident next to
+# the level-resident dX block; FeatureAlign (576, 256) is 0.6 MB, backbone
+# DCN stages with deform_groups=1 blow past this and take the XLA path.
+DW_RESIDENT_MAX_BYTES = 2 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _deform_core(x_rows, pyx, w2, h, w, b_n, interpret=False):
+    """sampled-then-contracted deformable conv with a fully fused backward.
+
+    Args: x_rows (N=G*B, Q, Cg) g-major; pyx (N, K, P, 2); w2
+    (G, K, Cg, O). Returns (B, P, O) f32-accumulated in compute dtype.
+
+    Forward: the kc-major sampling kernel (deform_gather.py) emits
+    (N, K*Cg, Ppad) with p MINOR — exactly the layout both the tap
+    contraction here and the weight gradient want, so the custom-call
+    boundary carries no relayout copies (the p-major pipeline paid
+    ~2.3 ms/step of pure copies at hi-acc, plus the same flip at
+    inference). Backward: ONE banded Pallas pass (_bwd_conv_kernel)
+    computes dX, dpyx, AND dW while deriving dsampled from (dy, W)
+    in-kernel — the (N, Ppad, K*Cg) dsampled tensor never exists in HBM
+    and the dW einsum's separate read of sampled disappears.
+    """
+    n, q, cg = x_rows.shape
+    g_n, k, _, o = w2.shape
+    sampT = sample_bilinear_rows_t(x_rows, pyx, h, w,
+                                   interpret=interpret)  # (N, K*Cg, Ppad)
+    b = n // g_n
+    out = jnp.einsum("gbxp,gxo->bpo",
+                     sampT.reshape(g_n, b, k * cg, -1),
+                     w2.reshape(g_n, k * cg, o).astype(sampT.dtype),
+                     preferred_element_type=jnp.float32)
+    return out[:, :pyx.shape[2], :].astype(x_rows.dtype)
+
+
+def _deform_core_fwd(x_rows, pyx, w2, h, w, b_n, interpret=False):
+    n, q, cg = x_rows.shape
+    g_n, k, _, o = w2.shape
+    sampT = sample_bilinear_rows_t(x_rows, pyx, h, w, interpret=interpret)
+    b = n // g_n
+    w_flat = w2.reshape(g_n, k * cg, o).astype(sampT.dtype)
+    out = jnp.einsum("gbxp,gxo->bpo",
+                     sampT.reshape(g_n, b, k * cg, -1), w_flat,
+                     preferred_element_type=jnp.float32)
+    out = out[:, :pyx.shape[2], :].astype(x_rows.dtype)
+    return out, (x_rows, pyx, sampT, w_flat)
+
+
+def _deform_core_bwd(h, w, b_n, interpret, res, dout):
+    x_rows, pyx, sampT, w_flat = res
+    g_n, kcg, o = w_flat.shape
+    wT = w_flat.transpose(0, 2, 1)                        # (G, O, K*Cg)
+    dx, dpyx, dw = _deform_bwd_pallas(x_rows, pyx, sampT,
+                                      dout.astype(x_rows.dtype), wT, h, w,
+                                      b_n, interpret=interpret)
+    k = pyx.shape[1]
+    dw2 = dw.reshape(g_n, k, kcg // k, o)
+    return dx, dpyx, dw2.astype(jnp.float32)
+
+
+_deform_core.defvjp(_deform_core_fwd, _deform_core_bwd)
+
+
+def _use_fused_core(h, w, cg, k, o, mask) -> bool:
+    if mask is not None or not pallas_available():
+        return False
+    if h * w <= DENSE_BWD_MAX_Q:
+        return False  # tiny levels: plain XLA autodiff fuses best
+    qpad = -(-(h * w) // 512) * 512
+    return (qpad * cg * 4 <= DX_RESIDENT_MAX_BYTES
+            and k * cg * o * 4 <= DW_RESIDENT_MAX_BYTES)
 
 
 def deform_conv2d(x, offsets, weight, *, stride: int = 1, padding: int = 1,
@@ -92,6 +172,20 @@ def deform_conv2d(x, offsets, weight, *, stride: int = 1, padding: int = 1,
         (offsets.shape, (b, ho, wo, g * k * 2))
 
     pyx = _sample_positions(offsets, kh, kw, stride, padding, dilation, g)
+
+    if _use_fused_core(h, w, cg, k, o, mask):
+        # g-major N ordering: the fused backward accumulates dW per g
+        # across consecutive (b, p-block) grid steps
+        x_rows_g = x.reshape(b, h * w, g, cg).transpose(2, 0, 1, 3)
+        x_rows_g = x_rows_g.reshape(g * b, h * w, cg)
+        pyx_g = pyx.reshape(b, g, k, p, 2).transpose(1, 0, 2, 3, 4)
+        pyx_g = pyx_g.reshape(g * b, k, p, 2)
+        w2 = weight.reshape(k, g, cg, o).transpose(1, 0, 2, 3)
+        out = _deform_core(x_rows_g, pyx_g, w2, h, w, b)
+        out = out.reshape(b, ho, wo, o)
+        if bias is not None:
+            out = out + bias
+        return out.astype(x.dtype)
 
     # (B, H, W, G, Cg) -> (B*G, H*W, Cg) row-major feature rows
     x_rows = x.reshape(b, h * w, g, cg).transpose(0, 2, 1, 3)

@@ -186,6 +186,13 @@ def _pack_pyx(pyxp, n, ppad, k):
         n, ppad, 2 * k)
 
 
+def _pack_pyx_t(pyxp, n, ppad, k):
+    """(N, K, Ppad, 2) -> (N, 2K, Ppad): positions as LANE vectors for the
+    transposed kernels (pixels live in lanes there)."""
+    return pyxp.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(
+        n, 2 * k, ppad)
+
+
 def _prep(x_rows, pyx, g=None):
     n, q, cg = x_rows.shape
     _, k, p, _ = pyx.shape
@@ -400,6 +407,204 @@ def _sample_pallas(x_rows, pyx, h, w, interpret=False):
     return out[:, :p, :].reshape(n, p, k, cg)
 
 
+# --------------------------- transposed (kc-major) forward kernel family
+#
+# The tap-contraction einsum and its weight gradient both want the sampled
+# tensor with p MINOR: the r4 profile shows XLA relayouting the p-major
+# kernel output to a p-minor layout on both sides of the custom call
+# (~2.3 ms/step of pure copies at hi-acc, plus the same flip in inference).
+# These kernels emit (N, K*Cg, Ppad) directly — pixels in lanes — so the
+# XLA consumers get their preferred layout for free, and every in-kernel
+# dot runs in an MXU-native form (A@B or A^T@B contracting sublanes) with
+# full 128-lane output width: the p-major sep kernel's row dot had
+# N = cg = 64 (half the MXU), the transposed one has N = k*P_BLK.
+
+
+def _fwd_sep_t_kernel(scal_ref, pyxT_ref, x_ref, out_ref, sx_ref, pys_ref,
+                      acc_ref, *, k_n, pb_n, wpad):
+    """Transposed separable forward: identical banding/row loop to
+    _fwd_sep_kernel, but pixels live in lanes. Per row the dot is
+    (wpad, cg)^T-contract-(wpad, k*P_BLK) -> (cg, k*P_BLK): K=wpad,
+    N=k*P_BLK — both MXU-saturating (the p-major form had N=cg=64)."""
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    npb = pl.num_programs(0) * pb_n
+    ws = scal_ref[bn * pb_n + bp]
+    rhi = scal_ref[npb + bn * pb_n + bp]
+    qx = jax.lax.broadcasted_iota(jnp.int32, (wpad, 1), 0
+                                  ).astype(jnp.float32)   # column iota
+    p_blk = pyxT_ref.shape[2]
+
+    for t in range(k_n):
+        py = pyxT_ref[0, 2 * t:2 * t + 1, :]              # (1, P_BLK)
+        px = pyxT_ref[0, 2 * t + 1:2 * t + 2, :]
+        sx_ref[:, t * p_blk:(t + 1) * p_blk] = _tent(qx - px).astype(
+            sx_ref.dtype)
+        pys_ref[0:1, t * p_blk:(t + 1) * p_blk] = py
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(r, carry):
+        row = x_ref[0, pl.ds(r * wpad, wpad), :]          # (wpad, cg)
+        m = jax.lax.dot_general(row, sx_ref[...], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        ty = _tent(r.astype(jnp.float32) - pys_ref[0:1, :])  # (1, k*P_BLK)
+        acc_ref[...] += ty * m
+        return carry
+
+    jax.lax.fori_loop(ws, rhi + 1, body, 0)
+
+    cg = acc_ref.shape[0]
+    for t in range(k_n):
+        out_ref[0, t * cg:(t + 1) * cg, :] = acc_ref[
+            :, t * p_blk:(t + 1) * p_blk].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _sample_pallas_sep_t(x_rows, pyx, h, w, interpret=False):
+    """Separable forward emitting (N, K*Cg, Ppad) — see the section note."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    wpad = -(-w // 16) * 16
+    ppad = -(-p // P_BLK) * P_BLK
+    pb = ppad // P_BLK
+
+    xw = x_rows.reshape(n, h, w, cg)
+    if wpad != w:
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, wpad - w), (0, 0)))
+    xw = xw.reshape(n, h * wpad, cg)
+
+    pyxp = _pad_to(pyx, ppad, 2)
+    if ppad != p:
+        mask = (jnp.arange(ppad) < p)[None, None, :, None]
+        pyxp = jnp.where(mask, pyxp, -2.0)
+    ws, rhi = _row_ranges(pyxp.astype(jnp.float32), h, n, k, pb)
+    scal = jnp.concatenate([ws, rhi]).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, 2 * k, P_BLK), lambda bn, bp, *_: (bn, 0, bp)),
+            pl.BlockSpec((1, h * wpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k * cg, P_BLK),
+                               lambda bn, bp, *_: (bn, 0, bp)),
+        scratch_shapes=[
+            pltpu.VMEM((wpad, k * P_BLK), x_rows.dtype),
+            pltpu.VMEM((1, k * P_BLK), jnp.float32),
+            pltpu.VMEM((cg, k * P_BLK), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_sep_t_kernel, k_n=k, pb_n=pb, wpad=wpad),
+        out_shape=jax.ShapeDtypeStruct((n, k * cg, ppad), x_rows.dtype),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(scal, _pack_pyx_t(pyxp, n, ppad, k), xw)
+    return out
+
+
+def _fwd_t_kernel(rng_ref, pyxT_ref, x_ref, out_ref, acc_ref, *,
+                  k_n, pb_n, w):
+    """Transposed banded forward: per (tap, active q-tile) the dot is
+    (Q_BLK, cg)^T-contract-(Q_BLK, P_BLK) -> (cg, P_BLK)."""
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+    cg = acc_ref.shape[0]
+    for t in range(k_n):
+        py = pyxT_ref[0, 2 * t:2 * t + 1, :]              # (1, P_BLK)
+        px = pyxT_ref[0, 2 * t + 1:2 * t + 2, :]
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(qt, carry, py=py, px=px):
+            q0 = qt * Q_BLK
+            j = (jax.lax.broadcasted_iota(jnp.int32, (Q_BLK, 1), 0) +
+                 q0).astype(jnp.float32)
+            qy = jnp.floor((j + 0.5) * (1.0 / w))         # column coords
+            qx = j - qy * w
+            s = (_tent(qy - py) * _tent(qx - px)).astype(x_ref.dtype)
+            acc_ref[...] += jax.lax.dot_general(
+                x_ref[0, pl.ds(q0, Q_BLK), :], s, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(lo, hi + 1, body, 0)
+        out_ref[0, t * cg:(t + 1) * cg, :] = acc_ref[...].astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "interpret"))
+def _sample_pallas_t(x_rows, pyx, h, w, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xp, pyxp, _, (n, q, cg, k, p, qpad, ppad) = _prep(x_rows, pyx)
+    pb = ppad // P_BLK
+    ranges = _tile_ranges(pyxp, h, w, n, k, pb, Q_BLK)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, 2 * k, P_BLK), lambda bn, bp, *_: (bn, 0, bp)),
+            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k * cg, P_BLK),
+                               lambda bn, bp, *_: (bn, 0, bp)),
+        scratch_shapes=[pltpu.VMEM((cg, P_BLK), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_t_kernel, k_n=k, pb_n=pb, w=w),
+        out_shape=jax.ShapeDtypeStruct((n, k * cg, ppad), x_rows.dtype),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(ranges, _pack_pyx_t(pyxp, n, ppad, k), xp)
+    return out
+
+
+def sample_dense_t(x_rows, pyx, h, w):
+    """Dense tent einsum emitting (N, K*Cg, P) — the mid/small-level
+    forward for the kc-major pipeline (same math as sample_dense)."""
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    j = jnp.arange(h * w, dtype=jnp.float32)
+    qy = jnp.floor((j + 0.5) * (1.0 / w))
+    qx = j - qy * w
+    py, px = pyx[..., 0], pyx[..., 1]                     # (N, K, P)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(qy[None, None, None, :] - py[..., None]))
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(qx[None, None, None, :] - px[..., None]))
+    s = (ty * tx).astype(x_rows.dtype)                    # (N, K, P, Q)
+    out = jnp.einsum("nkpq,nqc->nkcp", s, x_rows,
+                     preferred_element_type=jnp.float32).astype(x_rows.dtype)
+    return out.reshape(n, k * cg, p)
+
+
+def sample_bilinear_rows_t(x_rows, pyx, h, w, interpret=False):
+    """Deformable bilinear sampling, kc-major output (N, K*Cg, Ppad).
+
+    Same dispatch tiers as sample_bilinear_rows; used by the fused
+    deform-conv custom-VJP path (ops/deform_conv.py) whose consumers want
+    p minor. NOTE: the Ppad axis keeps its P_BLK padding (callers slice)."""
+    n, q, cg = x_rows.shape
+    _, k, p, _ = pyx.shape
+    ppad = -(-p // P_BLK) * P_BLK
+    if h * w <= DENSE_MAX_Q:
+        return _pad_to(sample_dense_t(x_rows, pyx, h, w), ppad, 2)
+    if _sep_eligible(h, w, cg, x_rows.dtype.itemsize, k):
+        return _sample_pallas_sep_t(x_rows, pyx, h, w, interpret=interpret)
+    return _sample_pallas_t(x_rows, pyx, h, w, interpret=interpret)
+
+
 # -------------------------------------------------------------- backward
 
 def _bwd_dpyx_kernel(rng_ref, pyx_ref, x_ref, g_ref, dpyx_ref, *,
@@ -595,6 +800,135 @@ def _sample_pallas_bwd(x_rows, pyx, g, h, w, interpret=False):
             interpret=interpret,
         )(ranges, pyx_packed, gp)
     return dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :]
+
+
+# ------------------------- fused deform-conv backward (kc-major pipeline)
+
+def _bwd_conv_kernel(rng_ref, pyx_ref, xT_ref, sampT_ref, dy_ref, wT_ref,
+                     dpyx_ref, dx_ref, dw_ref, *, k_n, pb_n, b_n, w):
+    """One banded pass computing ALL deform-conv gradients per (n, p-block):
+
+        dsamp = dy_blk @ W_g^T            (never materialized in HBM)
+        dW_g += sampT_blk @ dy_blk        (tap-contraction weight grad)
+        dX   += s^T @ dsamp_t             (level-resident, as before)
+        dpyx  = tent' reductions on m = dsamp_t @ xT_tile
+
+    vs the previous split (XLA einsums for dsampled/dW + a Pallas dX/dpyx
+    pass), this removes the (N, Ppad, K*Cg) dsampled HBM round-trip, the
+    separate sampled read of the dW einsum, and every layout copy at the
+    custom-call boundary (the saved sampled tensor is already kc-major,
+    which is the layout the weight-grad contraction wants). Every dot is
+    MXU-native: dsamp/dW/m are A@B, dX is A^T@B contracting sublanes.
+
+    Grid (N = G*B + b with g OUTER, p-block): dW blocks revisit
+    consecutively across all (b, pb) of one g, dy re-streams per g.
+    """
+    import jax.experimental.pallas as pl
+
+    bn, bp = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(bp == 0)
+    def _():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    @pl.when((bn % b_n == 0) & (bp == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    cg = xT_ref.shape[1]
+    dy_blk = dy_ref[0]                                    # (P_BLK, O)
+    dw_ref[0] += jax.lax.dot_general(
+        sampT_ref[0], dy_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dw_ref.dtype)
+    dsamp = jax.lax.dot_general(
+        dy_blk, wT_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(xT_ref.dtype)
+
+    for t in range(k_n):
+        py = pyx_ref[0, :, 2 * t:2 * t + 1]               # (P_BLK, 1)
+        px = pyx_ref[0, :, 2 * t + 1:2 * t + 2]
+        g = dsamp[:, t * cg:(t + 1) * cg]                 # (P_BLK, Cg)
+        base = ((bn * pb_n + bp) * k_n + t) * 2
+        lo, hi = rng_ref[base], rng_ref[base + 1]
+
+        def body(qt, carry, py=py, px=px, g=g):
+            dy, dx = carry
+            q0 = qt * Q_BLK
+            qy, qx = _grid_coords(q0, Q_BLK, w)
+            uy, ux = qy - py, qx - px
+            ty, tx = _tent(uy), _tent(ux)
+            s = (ty * tx).astype(g.dtype)
+            dx_ref[0, pl.ds(q0, Q_BLK), :] += jax.lax.dot_general(
+                s, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+            m = jax.lax.dot_general(
+                g, xT_ref[0, :, pl.ds(q0, Q_BLK)], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (P_BLK, Q_BLK)
+            dy = dy + (_dtent(uy) * tx * m).sum(1, keepdims=True)
+            dx = dx + (ty * _dtent(ux) * m).sum(1, keepdims=True)
+            return dy, dx
+
+        zero = jnp.zeros((py.shape[0], 1), jnp.float32)
+        dyv, dxv = jax.lax.fori_loop(lo, hi + 1, body, (zero, zero))
+        dpyx_ref[0, :, 2 * t:2 * t + 1] = dyv
+        dpyx_ref[0, :, 2 * t + 1:2 * t + 2] = dxv
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "b_n", "interpret"))
+def _deform_bwd_pallas(x_rows, pyx, sampT, dy, wT, h, w, b_n,
+                       interpret=False):
+    """Fused deform-conv backward dispatch.
+
+    Args: x_rows (N, Q, Cg) g-major N = G*B + b; pyx (N, K, P, 2);
+    sampT (N, K*Cg, Ppad) — the forward kernel's saved output; dy
+    (B, P, O) out-cotangent; wT (G, O, K*Cg).
+    Returns dx (N, Q, Cg), dpyx (N, K, P, 2), dw (G, K*Cg, O) f32.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xp, pyxp, _, (n, q, cg, k, p, qpad, ppad) = _prep(x_rows, pyx)
+    pb = ppad // P_BLK
+    ranges = _tile_ranges(pyxp, h, w, n, k, pb, Q_BLK)
+    pyx_packed = _pack_pyx(pyxp, n, ppad, k)
+    xT = xp.transpose(0, 2, 1)                            # (N, Cg, Qpad)
+    dyp = _pad_to(dy, ppad, 1).astype(x_rows.dtype)       # (B, Ppad, O)
+    o = dy.shape[-1]
+    g_n = n // b_n
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, pb),
+        in_specs=[
+            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, cg, qpad), lambda bn, bp, *_: (bn, 0, 0)),
+            pl.BlockSpec((1, k * cg, P_BLK),
+                         lambda bn, bp, *_: (bn, 0, bp)),
+            pl.BlockSpec((1, P_BLK, o),
+                         lambda bn, bp, *_: (bn % b_n, bp, 0)),
+            pl.BlockSpec((1, o, k * cg),
+                         lambda bn, bp, *_: (bn // b_n, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P_BLK, 2 * k), lambda bn, bp, *_: (bn, bp, 0)),
+            pl.BlockSpec((1, qpad, cg), lambda bn, bp, *_: (bn, 0, 0)),
+            pl.BlockSpec((1, k * cg, o),
+                         lambda bn, bp, *_: (bn // b_n, 0, 0)),
+        ],
+    )
+    dpyx, dx, dw = pl.pallas_call(
+        functools.partial(_bwd_conv_kernel, k_n=k, pb_n=pb, b_n=b_n, w=w),
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ppad, 2 * k), jnp.float32),
+            jax.ShapeDtypeStruct((n, qpad, cg), jnp.float32),
+            jax.ShapeDtypeStruct((g_n, k * cg, o), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else _compiler_params(),
+        interpret=interpret,
+    )(ranges, pyx_packed, xT, sampT.astype(x_rows.dtype), dyp, wT)
+    dpyx = dpyx.reshape(n, ppad, k, 2).transpose(0, 2, 1, 3)
+    return (dx[:, :q, :].astype(x_rows.dtype), dpyx[:, :, :p, :], dw)
 
 
 def sample_dense(x_rows, pyx, h, w):

@@ -918,3 +918,105 @@ class TestFusedGroupNorm:
         # CPU backend in tests -> always False; the shape logic is still
         # meaningful via the helper's pure conditions
         assert not use_pallas_gn((4, 100, 168, 256), 32)  # not on TPU here
+
+
+class TestTransposedDeformKernels:
+    """kc-major (p-minor) kernel family + the fused deform-conv backward
+    (ops/pallas/deform_gather.py, ops/deform_conv.py _deform_core), in
+    interpret mode on CPU, against sample_ref / XLA autodiff."""
+
+    def _rows_fixture(self, seed, n=2, h=24, w=20, cg=8, k=9, p=None):
+        rng = np.random.RandomState(seed)
+        p = p or (h * w)
+        x = jnp.asarray(rng.randn(n, h * w, cg).astype(np.float32))
+        base = np.stack(np.meshgrid(np.arange(h), np.arange(w),
+                                    indexing="ij"),
+                        -1).reshape(-1, 2)[:p]
+        pyx = (base[None, None] +
+               rng.randn(n, k, p, 2) * 0.7).astype(np.float32)
+        return x, jnp.asarray(pyx)
+
+    def _want_t(self, x, pyx, h, w):
+        from sipmask_tpu.ops.pallas.deform_gather import sample_ref
+        n, _, cg = x.shape
+        k, p = pyx.shape[1], pyx.shape[2]
+        want = sample_ref(x, pyx, h, w)          # (N, P, K, Cg)
+        return np.asarray(want).transpose(0, 2, 3, 1).reshape(n, k * cg, p)
+
+    def test_sep_t_matches_ref(self):
+        from sipmask_tpu.ops.pallas.deform_gather import _sample_pallas_sep_t
+        x, pyx = self._rows_fixture(0)
+        got = _sample_pallas_sep_t(x, pyx, 24, 20, interpret=True)
+        p = pyx.shape[2]
+        np.testing.assert_allclose(np.asarray(got)[:, :, :p],
+                                   self._want_t(x, pyx, 24, 20),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_banded_t_matches_ref(self):
+        from sipmask_tpu.ops.pallas.deform_gather import _sample_pallas_t
+        x, pyx = self._rows_fixture(1, h=40, w=32, p=1000)  # ragged p
+        got = _sample_pallas_t(x, pyx, 40, 32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[:, :, :1000],
+                                   self._want_t(x, pyx, 40, 32),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dense_t_matches_ref(self):
+        from sipmask_tpu.ops.pallas.deform_gather import sample_dense_t
+        x, pyx = self._rows_fixture(2, h=12, w=10)
+        got = sample_dense_t(x, pyx, 12, 10)
+        np.testing.assert_allclose(np.asarray(got),
+                                   self._want_t(x, pyx, 12, 10),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_deform_core_matches_old_path(self):
+        """_deform_core (fused custom-VJP path) == the XLA composition,
+        forward AND all three gradients (x, offsets via pyx, weight)."""
+        from sipmask_tpu.ops.deform_conv import (_deform_core,
+                                                 _sample_positions)
+        from sipmask_tpu.ops.pallas.deform_gather import sample_ref
+
+        rng = np.random.RandomState(3)
+        b, h, w, c, g, o = 2, 16, 12, 16, 2, 8
+        k, cg = 9, 8
+        x = jnp.asarray(rng.randn(b, h * w * 0 + h, w, c)
+                        .astype(np.float32)) * 0 + \
+            jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        offs = jnp.asarray(rng.randn(b, h, w, g * k * 2)
+                           .astype(np.float32) * 0.6 + 0.2)
+        weight = jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1)
+
+        def prep(x, offs, weight):
+            pyx = _sample_positions(offs, 3, 3, 1, 1, 1, g)
+            x_rows_g = x.reshape(b, h * w, g, cg).transpose(2, 0, 1, 3)
+            x_rows_g = x_rows_g.reshape(g * b, h * w, cg)
+            pyx_g = pyx.reshape(b, g, k, h * w, 2).transpose(1, 0, 2, 3, 4)
+            pyx_g = pyx_g.reshape(g * b, k, h * w, 2)
+            w2 = weight.reshape(k, g, cg, o).transpose(1, 0, 2, 3)
+            return x_rows_g, pyx_g, w2
+
+        def fused(x, offs, weight):
+            xr, pyx_g, w2 = prep(x, offs, weight)
+            out = _deform_core(xr, pyx_g, w2, h, w, b, True)
+            return out
+
+        def ref(x, offs, weight):
+            xr, pyx_g, w2 = prep(x, offs, weight)
+            sampled = sample_ref(xr, pyx_g, h, w)      # (N, P, K, Cg)
+            st = sampled.reshape(g, b, h * w, k * cg)
+            return jnp.einsum("gbpx,gxo->bpo", st,
+                              w2.reshape(g, k * cg, o))
+
+        out_f = fused(x, offs, weight)
+        out_r = ref(x, offs, weight)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                                   rtol=1e-4, atol=1e-4)
+
+        loss_f = lambda *a: (fused(*a) ** 2).sum()
+        loss_r = lambda *a: (ref(*a) ** 2).sum()
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, offs, weight)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, offs, weight)
+        for name, a, b_ in zip(("dx", "doffs", "dweight"), gr, gf):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            np.testing.assert_allclose(
+                np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
+                atol=2e-4, err_msg=name)
