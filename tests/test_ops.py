@@ -1020,3 +1020,87 @@ class TestTransposedDeformKernels:
             np.testing.assert_allclose(
                 np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
                 atol=2e-4, err_msg=name)
+
+    def test_extreme_offsets_exact_and_finite(self):
+        """Early-training regime: FeatureAlign offsets come from raw
+        bbox_pred and can be hundreds of pixels (every sample far out of
+        bounds), mixed with near-integer and in-bounds positions. The
+        banded/sep/dense transposed kernels and the fused backward must
+        stay EXACT (vs sample_ref / XLA autodiff) and finite there — a
+        band-selection or clamp bug would surface as the kind of loss
+        spike seen at warmup end, not in moderate-offset tests."""
+        import jax
+        import jax.numpy as jnp
+        from sipmask_tpu.ops.deform_conv import (_deform_core,
+                                                 _sample_positions)
+        from sipmask_tpu.ops.pallas.deform_gather import (
+            _sample_pallas_sep_t, _sample_pallas_t, sample_dense_t,
+            sample_ref)
+
+        rng = np.random.RandomState(7)
+        n, h, w, cg, k = 2, 24, 20, 8, 9
+        p = h * w
+        x = jnp.asarray(rng.randn(n, p, cg).astype(np.float32))
+        base = np.stack(np.meshgrid(np.arange(h), np.arange(w),
+                                    indexing="ij"),
+                        -1).reshape(-1, 2)[:p].astype(np.float32)
+        pyx = np.tile(base[None, None], (n, k, 1, 1))
+        # thirds: wild (+-300 px), moderate, exact-integer far-out
+        pyx[:, :, :p // 3] += rng.randn(n, k, p // 3, 2) * 300.0
+        pyx[:, :, p // 3:2 * p // 3] += (
+            rng.randn(n, k, p // 3 + (p % 3 > 0), 2) * 0.7
+        )[:, :, :p // 3]
+        pyx[:, :, 2 * p // 3:] = np.round(
+            pyx[:, :, 2 * p // 3:] + rng.randint(
+                -200, 200, (n, k, p - 2 * (p // 3), 2)))
+        pyx = jnp.asarray(pyx.astype(np.float32))
+
+        want = np.asarray(sample_ref(x, pyx, h, w))
+        want_t = want.transpose(0, 2, 3, 1).reshape(n, k * cg, p)
+        for fn in (lambda: _sample_pallas_sep_t(x, pyx, h, w,
+                                                interpret=True),
+                   lambda: _sample_pallas_t(x, pyx, h, w, interpret=True),
+                   lambda: sample_dense_t(x, pyx, h, w)):
+            got = np.asarray(fn())[:, :, :p]
+            np.testing.assert_allclose(got, want_t, rtol=1e-4, atol=1e-4)
+
+        # fused custom-VJP core under the same wild offsets (offsets in
+        # pixel units of the same magnitudes, via _sample_positions)
+        b, c, g, o = 2, 16, 2, 8
+        x4 = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        offs = jnp.asarray(
+            (rng.randn(b, h, w, g * k * 2) * 150.0).astype(np.float32))
+        weight = jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1)
+
+        def prep(x, offs, weight):
+            pyx_ = _sample_positions(offs, 3, 3, 1, 1, 1, g)
+            xr = x.reshape(b, h * w, g, c // g).transpose(2, 0, 1, 3)
+            xr = xr.reshape(g * b, h * w, c // g)
+            pg = pyx_.reshape(b, g, k, h * w, 2).transpose(1, 0, 2, 3, 4)
+            pg = pg.reshape(g * b, k, h * w, 2)
+            w2 = weight.reshape(k, g, c // g, o).transpose(1, 0, 2, 3)
+            return xr, pg, w2
+
+        def fused(x, offs, weight):
+            xr, pg, w2 = prep(x, offs, weight)
+            return _deform_core(xr, pg, w2, h, w, b, True)
+
+        def ref(x, offs, weight):
+            xr, pg, w2 = prep(x, offs, weight)
+            st = sample_ref(xr, pg, h, w).reshape(g, b, h * w, k * (c // g))
+            return jnp.einsum("gbpx,gxo->bpo", st,
+                              w2.reshape(g, k * (c // g), o))
+
+        np.testing.assert_allclose(np.asarray(fused(x4, offs, weight)),
+                                   np.asarray(ref(x4, offs, weight)),
+                                   rtol=1e-4, atol=1e-4)
+        gf = jax.grad(lambda *a: (fused(*a) ** 2).sum(),
+                      argnums=(0, 1, 2))(x4, offs, weight)
+        gr = jax.grad(lambda *a: (ref(*a) ** 2).sum(),
+                      argnums=(0, 1, 2))(x4, offs, weight)
+        for name, a, b_ in zip(("dx", "doffs", "dweight"), gr, gf):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            assert np.isfinite(b_).all(), name
+            np.testing.assert_allclose(
+                np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
+                atol=2e-4, err_msg=name)
