@@ -140,9 +140,13 @@ def main():
     cfg = _r(get_config(args.config), "model", compute_dtype=args.dtype)
     # train profiles default to the train-time shape (the 6x RT recipe
     # trains at the 576 train_size stretch, tests at the 544 fixed_size)
+    # img_scale presets (e.g. hi-acc (1333, 800)) run at the bucketed
+    # production shape: short side x long side padded to stride 32
+    # (800x1344), matching bench.py — NOT a square min-side crop, which
+    # understates the step by ~40%
     default = (cfg.data.train_size if args.mode == "train" else None) \
         or cfg.data.fixed_size \
-        or (min(cfg.data.img_scale), min(cfg.data.img_scale))
+        or (min(cfg.data.img_scale), -(-max(cfg.data.img_scale) // 32) * 32)
     h, w = args.shape or default
     rng = np.random.RandomState(0)
     b = args.batch
