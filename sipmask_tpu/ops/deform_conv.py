@@ -31,6 +31,7 @@ SipMask++ DCN backbone stages (configs/sipmask/sipmask++_*.py:13-14).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +74,9 @@ def _sample_positions(offsets, kh, kw, stride, padding, dilation,
 # dW accumulator (K*Cg, O) f32 must stay comfortably VMEM-resident next to
 # the level-resident dX block; FeatureAlign (576, 256) is 0.6 MB, backbone
 # DCN stages with deform_groups=1 blow past this and take the XLA path.
-DW_RESIDENT_MAX_BYTES = 2 * 1024 * 1024
+# Env-overridable so candidate shapes can be A/B-measured on hardware.
+DW_RESIDENT_MAX_BYTES = int(os.environ.get(
+    "SIPMASK_DW_RESIDENT_MAX_BYTES", str(2 * 1024 * 1024)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -1104,3 +1104,49 @@ class TestTransposedDeformKernels:
             np.testing.assert_allclose(
                 np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
                 atol=2e-4, err_msg=name)
+
+    def test_deform_core_backbone_g1(self):
+        """Backbone-DCN shape class: deform_groups=1 (the SipMask++ c3-c5
+        stages, reference sipmask++_r101_caffe_fpn_ssd_6x.py backbone dcn
+        deformable_groups=1). g=1 collapses N to B and exercises the fused
+        backward's dW revisit indexing (bn % b_n == bn, bn // b_n == 0)
+        that the multi-group FeatureAlign tests never hit — this is the
+        path SIPMASK_DW_RESIDENT_MAX_BYTES newly admits for c4."""
+        from sipmask_tpu.ops.deform_conv import (_deform_core,
+                                                 _sample_positions)
+        from sipmask_tpu.ops.pallas.deform_gather import sample_ref
+
+        rng = np.random.RandomState(11)
+        b, h, w, c, o, k = 2, 16, 12, 32, 16, 9
+        x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        offs = jnp.asarray(rng.randn(b, h, w, k * 2)
+                           .astype(np.float32) * 0.6)
+        weight = jnp.asarray(rng.randn(3, 3, c, o).astype(np.float32) * 0.1)
+
+        def prep(x, offs, weight):
+            pyx = _sample_positions(offs, 3, 3, 1, 1, 1, 1)
+            xr = x.reshape(b, h * w, c)          # g=1: N = B, no transpose
+            w2 = weight.reshape(1, k, c, o)
+            return xr, pyx, w2
+
+        def fused(x, offs, weight):
+            xr, pyx, w2 = prep(x, offs, weight)
+            return _deform_core(xr, pyx, w2, h, w, b, True)
+
+        def ref(x, offs, weight):
+            xr, pyx, w2 = prep(x, offs, weight)
+            st = sample_ref(xr, pyx, h, w).reshape(1, b, h * w, k * c)
+            return jnp.einsum("gbpx,gxo->bpo", st, w2.reshape(1, k * c, o))
+
+        np.testing.assert_allclose(np.asarray(fused(x, offs, weight)),
+                                   np.asarray(ref(x, offs, weight)),
+                                   rtol=1e-4, atol=1e-4)
+        gf = jax.grad(lambda *a: (fused(*a) ** 2).sum(),
+                      argnums=(0, 1, 2))(x, offs, weight)
+        gr = jax.grad(lambda *a: (ref(*a) ** 2).sum(),
+                      argnums=(0, 1, 2))(x, offs, weight)
+        for name, a, b_ in zip(("dx", "doffs", "dweight"), gr, gf):
+            a, b_ = np.asarray(a), np.asarray(b_)
+            np.testing.assert_allclose(
+                np.linalg.norm(a - b_) / max(np.linalg.norm(a), 1e-9), 0,
+                atol=2e-4, err_msg=name)
